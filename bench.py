@@ -1,0 +1,115 @@
+#!/usr/bin/env python
+"""Benchmark: grid-points/s/chip on the WeatherBench 5.625-degree rollout.
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Methodology
+-----------
+Flagship config: U-Net (hidden 64-128-256, ~2.8M params), batch 16, 16-step
+autoregressive rollout (the reference's evaluation protocol: a 17-frame
+sequence -> 16 predicted steps, `configs/testing/default.yaml`), 8 prognostic
+channels on the 32x64 grid (t850, t2m, u10, v10, z300/500/700/1000 —
+`configs/data/weatherbench.yaml`).
+
+The host<->TPU relay on this rig has ~38 ms fixed round-trip latency, so the
+benchmark chains REPEATS rollouts inside one jit (each fed from the previous
+output, so they serialize on-device) and fetches a single scalar; per-rollout
+time = total / REPEATS.  This measures steady-state device throughput, the
+quantity that matters for production rollouts.
+
+value = B * steps * H * W / time_per_rollout   (grid-points/s/chip)
+
+vs_baseline: the reference reports U-Net training at 20.54 s/epoch (50k
+params, batch 1, unstated NVIDIA GPU; `scripts/plot_results.py:533`).  One
+epoch = 1979-2014 split, 52583 6-hourly steps -> 3505 windows x 14 predicted
+frames x 2048 points = 100.5M grid-points, so ~4.9M grid-points/s for
+forward+backward; forward-only is taken as 3x that (fwd:bwd ~ 1:2) ->
+baseline = 14.7M grid-points/s.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlwpbench_tpu.models.unet import UNet
+
+BASELINE_GRIDPOINTS_PER_S = 14.7e6
+REPEATS = 16
+
+
+def main():
+    B, T, Cc, Cp, Cq, H, W = 16, 17, 4, 1, 8, 32, 64
+    model = UNet(
+        constant_channels=Cc,
+        prescribed_channels=Cp,
+        prognostic_channels=Cq,
+        hidden_channels=(64, 128, 256),
+        context_size=1,
+    )
+    r = np.random.default_rng(0)
+    const = jnp.asarray(r.standard_normal((B, 1, Cc, H, W)), jnp.float32)
+    pres = jnp.asarray(r.standard_normal((B, T, Cp, H, W)), jnp.float32)
+    prog = jnp.asarray(r.standard_normal((B, T, Cq, H, W)), jnp.float32)
+
+    # Init params on CPU (fast, avoids tunnel compiles), then ship to device.
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    if cpu is not None:
+        with jax.default_device(cpu):
+            params = jax.jit(model.init)(jax.random.PRNGKey(0), const, pres, prog)
+    else:
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), const, pres, prog)
+
+    # Persistent compile cache only for the device program (avoids polluting
+    # the cache with host-CPU AOT entries from the init above).
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    dev = jax.devices()[0]
+    params, const, pres, prog = jax.device_put((params, const, pres, prog), dev)
+
+    @jax.jit
+    def chained(p, c, pr, pg):
+        def body(carry, _):
+            out = model.apply(p, c, pr, carry)
+            # Data-dependence between repeats forces on-device serialization;
+            # the perturbation is numerically negligible.
+            nxt = pg + out[:, -1:].mean() * 1e-8
+            return nxt, out.mean()
+        _, means = jax.lax.scan(body, pg, None, length=REPEATS)
+        return means.sum()
+
+    float(chained(params, const, pres, prog))  # compile + warmup
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(chained(params, const, pres, prog))
+        times.append((time.perf_counter() - t0) / REPEATS)
+    dt = float(np.median(times))
+
+    gps = B * (T - 1) * H * W / dt
+    print(
+        json.dumps(
+            {
+                "metric": "grid-points/s/chip, UNet 2.8M 16-step rollout 5.625deg",
+                "value": round(gps, 1),
+                "unit": "gridpoints/s",
+                "vs_baseline": round(gps / BASELINE_GRIDPOINTS_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -19,3 +19,24 @@ Layering (see SURVEY.md §7):
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compile_cache():
+    """Enable JAX's persistent compilation cache with a per-backend dir.
+
+    This host compiles slowly (TPU compiles go through a remote tunnel; CPU
+    LLVM is slow on the 4-core VM), so caching compiled executables across
+    processes is a large win.  TPU and CPU caches are kept in separate dirs:
+    TPU-side runs route even CPU AOT compiles through the remote compiler,
+    whose x86 feature set differs from this host — loading those entries in a
+    CPU-only process risks SIGILL.
+    """
+    import jax
+
+    backend = jax.default_backend()
+    cache_dir = (
+        "/root/repo/.jax_cache" if backend == "axon" else "/tmp/dlwpbench_jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

@@ -1,0 +1,209 @@
+"""Dataset layer: WeatherBench-style windowed sequences, TPU-native.
+
+Reference: `data/datasets/datasets.py` (WeatherBenchDataset).  Capability
+parity:
+
+- per-variable z-score normalization with per-level stats, NaNs -> 0
+  (`datasets.py:381-403`);
+- variable roles: constants [1, Cc, (F), H, W], prescribed (forcing, e.g.
+  tisr) [T, Cp, ...], prognostic (+1 step for the target) [T+1, Cq, ...]
+  (`datasets.py:330-416`);
+- non-overlapping windows of `sequence_length` starting at
+  `item * sequence_length` (`datasets.py:323-336`), or explicit init dates;
+- input noise injection on prognostic inputs (`datasets.py:414`);
+- `target = prognostic[1:]`, returned from `context_size` on
+  (`datasets.py:413-416`);
+- `compute_statistics()` summary (`datasets.py:419-453`);
+- biweekly Monday/Thursday 11:00 UTC init-date generator
+  (`datasets.py:457-479`).
+
+TPU-first design: instead of a torch DataLoader with worker processes feeding
+per-item tensors, the whole split lives in host RAM as one numpy array per
+role (the reference also loads the full split into RAM, `datasets.py:294-298`)
+and batches are sliced + stacked on demand — the train step `device_put`s
+them (or they are sharded over the mesh by the trainer).  Windowing is pure
+index arithmetic; nothing is copied until a batch is materialized.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Mapping, Sequence
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class VariableStats:
+    mean: float
+    std: float
+
+    def normalize(self, x: np.ndarray) -> np.ndarray:
+        return (x - self.mean) / self.std
+
+    def denormalize(self, x: np.ndarray) -> np.ndarray:
+        return x * self.std + self.mean
+
+
+def compute_stats(arr: np.ndarray) -> VariableStats:
+    return VariableStats(float(np.nanmean(arr)), float(np.nanstd(arr)) or 1.0)
+
+
+@dataclasses.dataclass
+class WindowedWeatherDataset:
+    """In-memory windowed dataset with the reference's item semantics.
+
+    Args:
+      constants: [Cc, (F), H, W] or None.
+      prescribed: [T, Cp, (F), H, W] or None (already time-ordered).
+      prognostic: [T, Cq, (F), H, W].
+      sequence_length: steps per item (the model consumes seq+1 prognostic
+        frames: seq inputs + 1 extra for targets).
+      context_size: teacher-forcing context (targets returned from there on).
+      noise: stddev of Gaussian noise added to prognostic inputs.
+      init_indices: optional explicit window start indices (replaces the
+        reference's init_dates; date -> index resolution happens in the
+        data source, keeping this class pure array logic).
+    """
+
+    prognostic: np.ndarray
+    constants: np.ndarray | None = None
+    prescribed: np.ndarray | None = None
+    sequence_length: int = 15
+    context_size: int = 1
+    noise: float = 0.0
+    init_indices: Sequence[int] | None = None
+    seed: int = 0
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+        assert self.prognostic.ndim >= 4
+        if self.constants is not None and self.constants.ndim == self.prognostic.ndim - 1:
+            self.constants = self.constants[None]  # [1, Cc, ...]
+
+    def __len__(self) -> int:
+        if self.init_indices is None:
+            return (self.prognostic.shape[0] - self.sequence_length) // self.sequence_length
+        return len(self.init_indices)
+
+    def __getitem__(self, item: int):
+        start = (
+            item * self.sequence_length
+            if self.init_indices is None
+            else int(self.init_indices[item])
+        )
+        seq = self.sequence_length
+
+        pres = (
+            None
+            if self.prescribed is None
+            else self.prescribed[start : start + seq]
+        )
+        prog_full = self.prognostic[start : start + seq + 1]
+        if prog_full.shape[0] < seq + 1:  # long rollouts past data end
+            fill = np.zeros(
+                (seq + 1 - prog_full.shape[0], *prog_full.shape[1:]), np.float32
+            )
+            prog_full = np.concatenate([prog_full, fill], axis=0)
+
+        target = prog_full[1:]
+        prog = prog_full[:-1]
+        if self.noise:
+            prog = prog + np.float32(
+                self._rng.standard_normal(prog.shape) * self.noise
+            )
+        return self.constants, pres, prog.astype(np.float32), target[
+            self.context_size :
+        ].astype(np.float32)
+
+    def batches(
+        self, batch_size: int, shuffle: bool = False, drop_last: bool = False
+    ) -> Iterator[tuple]:
+        """Yield batched (constants, prescribed, prognostic, target) arrays
+        with a leading batch dim, stacking per-item windows."""
+        order = np.arange(len(self))
+        if shuffle:
+            self._rng.shuffle(order)
+        n = len(order)
+        step = batch_size
+        stop = n - (n % step) if drop_last else n
+        for i in range(0, stop, step):
+            items = [self[j] for j in order[i : i + step]]
+            const = None if items[0][0] is None else np.stack([it[0] for it in items])
+            pres = None if items[0][1] is None else np.stack([it[1] for it in items])
+            prog = np.stack([it[2] for it in items])
+            tar = np.stack([it[3] for it in items])
+            yield const, pres, prog, tar
+
+
+def normalize_variables(
+    raw: Mapping[str, np.ndarray], stats: Mapping[str, VariableStats] | None = None
+) -> tuple[dict[str, np.ndarray], dict[str, VariableStats]]:
+    """Z-score each variable (NaN -> 0 after normalization, `datasets.py:397`)."""
+    stats = dict(stats) if stats else {}
+    out = {}
+    for name, arr in raw.items():
+        st = stats.get(name) or compute_stats(arr)
+        stats[name] = st
+        out[name] = np.nan_to_num(st.normalize(arr)).astype(np.float32)
+    return out, stats
+
+
+def biweekly_init_indices(
+    times: np.ndarray, start: np.datetime64, stop: np.datetime64
+) -> np.ndarray:
+    """Indices of biweekly Monday/Thursday 11:00 UTC inits in `times`.
+
+    Reference `datasets.py:457-479` / `evaluate.py:56-77`: forecasts start
+    Mondays and Thursdays at 11:00 UTC within the test period.
+    """
+    import pandas as pd
+
+    t = pd.DatetimeIndex(times)
+    sel = (
+        (t >= pd.Timestamp(start))
+        & (t <= pd.Timestamp(stop))
+        & (t.dayofweek.isin([0, 3]))
+        & (t.hour == 11)
+    )
+    return np.nonzero(np.asarray(sel))[0]
+
+
+def synthetic_weatherbench(
+    n_time: int = 64,
+    nlat: int = 32,
+    nlon: int = 64,
+    n_prognostic: int = 8,
+    n_prescribed: int = 1,
+    n_constants: int = 4,
+    healpix_nside: int | None = None,
+    seed: int = 0,
+):
+    """Deterministic synthetic ERA5-like arrays for tests and benchmarks.
+
+    Smooth space-time random fields (bandlimited noise advected in
+    longitude), shaped like the WeatherBench 5.625-degree data:
+    returns (constants [Cc,(F),H,W] | None, prescribed [T,Cp,...] | None,
+    prognostic [T,Cq,...]).
+    """
+    rng = np.random.default_rng(seed)
+    if healpix_nside:
+        spatial = (12, healpix_nside, healpix_nside)
+    else:
+        spatial = (nlat, nlon)
+
+    def smooth_field(shape):
+        x = rng.standard_normal(shape).astype(np.float32)
+        # cheap spatial smoothing for realism (separable box filter)
+        for ax in range(len(shape) - len(spatial), len(shape)):
+            x = (x + np.roll(x, 1, ax) + np.roll(x, -1, ax)) / 3.0
+        return x
+
+    prog = np.cumsum(
+        0.1 * smooth_field((n_time + 1, n_prognostic, *spatial)), axis=0
+    ).astype(np.float32)
+    pres = (
+        smooth_field((n_time + 1, n_prescribed, *spatial)) if n_prescribed else None
+    )
+    const = smooth_field((n_constants, *spatial)) if n_constants else None
+    return const, pres, prog

@@ -1,0 +1,133 @@
+"""Geometry-aware convolution building blocks (flax.linen, channels-last).
+
+The reference wraps every conv in either `CylinderPad` (`utils/utils.py:11`)
+or `HEALPixLayer` (`utils/healpix.py:69-114`, which auto-inserts
+`HEALPixPadding` and disables native padding).  Here the same capability is a
+single `GeoConv` module parameterized by `mesh`:
+
+- mesh="equirectangular": cylinder pad (circular lon, zero lat) + VALID conv.
+- mesh="healpix": neighbor-gather pad of the 12 faces + per-face VALID conv
+  (faces folded into the batch dim for the conv, the TPU-friendly layout —
+  one big NHWC conv on the MXU instead of 12 small ones).
+- mesh="plain": ordinary SAME/VALID conv (used by the NS synthetic track).
+
+All modules are channels-last ([B, H, W, C] or [B, F, H, W, C]) because XLA
+TPU convolutions are fastest in NHWC with C on the 128-lane axis.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dlwpbench_tpu.ops.padding import cylinder_pad, healpix_pad_channels_last
+
+
+def fold_faces(x: jax.Array) -> jax.Array:
+    """[B, F, H, W, C] -> [B*F, H, W, C] (reference HEALPixFoldFaces)."""
+    B, F, H, W, C = x.shape
+    return x.reshape(B * F, H, W, C)
+
+
+def unfold_faces(x: jax.Array, faces: int = 12) -> jax.Array:
+    """[B*F, H, W, C] -> [B, F, H, W, C] (reference HEALPixUnfoldFaces)."""
+    BF, H, W, C = x.shape
+    return x.reshape(BF // faces, faces, H, W, C)
+
+
+class GeoConv(nn.Module):
+    """Boundary-aware 2D convolution.
+
+    On "equirectangular"/"healpix" meshes, kernels > 1 are padded with the
+    correct global boundary condition and convolved VALID; 1x1 convs skip
+    padding entirely (reference `healpix.py:87-97` semantics).
+    """
+
+    features: int
+    kernel_size: int = 3
+    mesh: str = "equirectangular"
+    strides: int = 1
+    use_bias: bool = True
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k = self.kernel_size
+        pad = (k // 2) * self.dilation
+        conv = nn.Conv(
+            self.features,
+            (k, k),
+            strides=(self.strides, self.strides),
+            padding="VALID",
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+        )
+        if self.mesh == "healpix":
+            # x: [B, F, H, W, C] -> pad faces, fold into batch, one NHWC conv
+            if pad > 0:
+                x = healpix_pad_channels_last(x, pad)
+            return unfold_faces(conv(fold_faces(x)))
+        if self.mesh == "equirectangular":
+            if pad > 0:
+                # cylinder_pad pads the trailing [H, W]; move C out of the way
+                x = jnp.moveaxis(cylinder_pad(jnp.moveaxis(x, -1, 1), pad), 1, -1)
+            return conv(x)
+        if self.mesh == "plain":
+            if pad > 0:
+                x = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+            return conv(x)
+        raise ValueError(f"unknown mesh {self.mesh!r}")
+
+
+class GeoConvTranspose(nn.Module):
+    """2x upsampling transposed conv (reference UNet decoder `unet.py:532`)."""
+
+    features: int
+    kernel_size: int = 2
+    stride: int = 2
+    mesh: str = "equirectangular"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        up = nn.ConvTranspose(
+            self.features,
+            (self.kernel_size, self.kernel_size),
+            strides=(self.stride, self.stride),
+            padding="VALID",
+        )
+        if self.mesh == "healpix":
+            return unfold_faces(up(fold_faces(x)))
+        return up(x)
+
+
+def avg_pool_2x(x: jax.Array, mesh: str = "equirectangular") -> jax.Array:
+    """2x2/stride-2 average pool (reference UNet encoder `unet.py:450`)."""
+    if mesh == "healpix":
+        B, F, H, W, C = x.shape
+        y = nn.avg_pool(x.reshape(B * F, H, W, C), (2, 2), (2, 2))
+        return y.reshape(B, F, H // 2, W // 2, C)
+    return nn.avg_pool(x, (2, 2), (2, 2))
+
+
+ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "tanh": jnp.tanh,
+    "silu": nn.silu,
+    "sigmoid": nn.sigmoid,
+    "identity": lambda x: x,
+}
+
+
+def get_activation(name) -> Callable[[jax.Array], jax.Array]:
+    if callable(name):
+        return name
+    key = str(name).lower()
+    # accept reference-style torch specs like "torch.nn.GELU()"
+    for k in ACTIVATIONS:
+        if k in key:
+            return ACTIVATIONS[k]
+    raise ValueError(f"unknown activation {name!r}")

@@ -1,0 +1,107 @@
+"""DDPM noise scheduler (replaces `diffusers.DDPMScheduler` for the
+PDE-Refiner-style diffusion track; reference `scripts/train.py:62-89,226-258`
+and `models/diffusion_models/modern_unet/modern_unet.py:175-208`).
+
+Implements exactly the pieces the reference uses:
+- custom `trained_betas` = [min_noise_std**(k/K) for k in reversed(range(K+1))]
+  (`train.py:76`);
+- `add_noise(sample, noise, t)` = sqrt(acp_t)*sample + sqrt(1-acp_t)*noise;
+- v-prediction target: v = sqrt(acp_t)*noise - sqrt(1-acp_t)*sample
+  (`train.py:255`);
+- the reverse `step(model_output, t, sample)` with v-prediction and
+  `clip_sample=False`, matching diffusers' DDPMScheduler math.
+
+Everything is a pure function over a precomputed `DDPMSchedule` pytree so it
+jits and vmaps freely (per-sample timesteps etc.).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DDPMSchedule(NamedTuple):
+    betas: jax.Array  # [K+1]
+    alphas: jax.Array
+    alphas_cumprod: jax.Array
+    num_timesteps: int
+
+
+def make_refiner_schedule(num_refinement_steps: int, min_noise_std: float) -> DDPMSchedule:
+    """PDE-Refiner beta schedule (reference `train.py:74-82`)."""
+    K = num_refinement_steps
+    betas = np.array(
+        [min_noise_std ** (k / K) for k in reversed(range(K + 1))], np.float64
+    )
+    return _from_betas(betas)
+
+
+def make_linear_schedule(num_timesteps: int, beta_start=1e-4, beta_end=0.02) -> DDPMSchedule:
+    betas = np.linspace(beta_start, beta_end, num_timesteps, dtype=np.float64)
+    return _from_betas(betas)
+
+
+def _from_betas(betas: np.ndarray) -> DDPMSchedule:
+    alphas = 1.0 - betas
+    acp = np.cumprod(alphas)
+    return DDPMSchedule(
+        betas=jnp.asarray(betas, jnp.float32),
+        alphas=jnp.asarray(alphas, jnp.float32),
+        alphas_cumprod=jnp.asarray(acp, jnp.float32),
+        num_timesteps=len(betas),
+    )
+
+
+def _extract(arr: jax.Array, t: jax.Array, ndim: int) -> jax.Array:
+    """Gather arr[t] and reshape to broadcast over an ndim-dim sample."""
+    v = arr[t]
+    return v.reshape(v.shape + (1,) * (ndim - v.ndim))
+
+
+def add_noise(
+    sched: DDPMSchedule, sample: jax.Array, noise: jax.Array, t: jax.Array
+) -> jax.Array:
+    acp = _extract(sched.alphas_cumprod, t, sample.ndim)
+    return jnp.sqrt(acp) * sample + jnp.sqrt(1.0 - acp) * noise
+
+
+def v_prediction_target(
+    sched: DDPMSchedule, sample: jax.Array, noise: jax.Array, t: jax.Array
+) -> jax.Array:
+    """v = sqrt(acp)*noise - sqrt(1-acp)*sample (diffusers v-prediction)."""
+    acp = _extract(sched.alphas_cumprod, t, sample.ndim)
+    return jnp.sqrt(acp) * noise - jnp.sqrt(1.0 - acp) * sample
+
+
+def step(
+    sched: DDPMSchedule,
+    model_output: jax.Array,
+    t: jax.Array,
+    sample: jax.Array,
+    key: jax.Array,
+) -> jax.Array:
+    """One reverse-diffusion step (DDPM ancestral sampling, v-prediction,
+    clip_sample=False).  `t` is a scalar timestep; adds noise unless t==0."""
+    ndim = sample.ndim
+    acp_t = _extract(sched.alphas_cumprod, t, ndim)
+    acp_prev = jnp.where(
+        t > 0, _extract(sched.alphas_cumprod, jnp.maximum(t - 1, 0), ndim), 1.0
+    )
+    beta_t = 1.0 - acp_t / acp_prev
+    alpha_t = 1.0 - beta_t
+
+    # v-prediction -> predicted x0 and eps
+    pred_x0 = jnp.sqrt(acp_t) * sample - jnp.sqrt(1.0 - acp_t) * model_output
+
+    # DDPM posterior mean in terms of x_t and x0
+    coef_x0 = jnp.sqrt(acp_prev) * beta_t / (1.0 - acp_t)
+    coef_xt = jnp.sqrt(alpha_t) * (1.0 - acp_prev) / (1.0 - acp_t)
+    mean = coef_x0 * pred_x0 + coef_xt * sample
+
+    var = jnp.clip(beta_t * (1.0 - acp_prev) / (1.0 - acp_t), 1e-20, None)
+    noise = jax.random.normal(key, sample.shape, sample.dtype)
+    return jnp.where(t > 0, mean + jnp.sqrt(var) * noise, mean)

@@ -61,3 +61,23 @@ def healpix_pad(x: jax.Array, padding: int) -> jax.Array:
     gathered = jnp.take(flat, idx_flat, axis=-1)  # [..., 12*Hp*Wp*2]
     gathered = gathered.reshape(*lead, *w.shape)
     return (gathered * w.astype(x.dtype)).sum(-1)
+
+
+def healpix_pad_channels_last(x: jax.Array, padding: int) -> jax.Array:
+    """Neighbor-pad a channels-last HEALPix field.
+
+    Args:
+      x: [B, F=12, H, W, C] field (H == W == nside).
+      padding: pad width p >= 1.
+
+    Returns:
+      [B, 12, H+2p, W+2p, C].  Channels stay the trailing (lane) dim so the
+      gather vectorizes across C on the VPU and feeds NHWC convs directly.
+    """
+    B, F, H, W, C = x.shape
+    assert F == 12 and H == W, f"expected [B, 12, n, n, C], got {x.shape}"
+    idx_flat, w = _pad_tables(H, padding)
+    flat = x.reshape(B, F * H * W, C)
+    gathered = jnp.take(flat, idx_flat, axis=1)  # [B, 12*Hp*Wp*2, C]
+    gathered = gathered.reshape(B, *w.shape, C)  # [B, 12, Hp, Wp, 2, C]
+    return (gathered * w[..., None].astype(x.dtype)).sum(-2)

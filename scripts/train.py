@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Training CLI (reference `scripts/train.py`):
+
+    python scripts/train.py model=unet data=synthetic training.epochs=3
+
+Composes the config from `configs/` (Hydra-style groups + overrides), builds
+the model from the registry, trains with the jitted harness, and writes
+best/last checkpoints + a config snapshot under `outputs/<model.name>/`.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv):
+    import dlwpbench_tpu
+
+    dlwpbench_tpu.enable_compile_cache()
+    from dlwpbench_tpu.data.sources import build_datasets
+    from dlwpbench_tpu.models import registry  # populates the registry
+    from dlwpbench_tpu.training.config import load_config, save_config
+    from dlwpbench_tpu.training.losses import latitude_weights
+    from dlwpbench_tpu.training.trainer import Trainer, load_checkpoint
+
+    cfg_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "configs")
+    cfg = load_config(cfg_dir, overrides=argv)
+
+    assert cfg.training.sequence_length > cfg.model.context_size, (
+        "No time steps to predict, increase the prediction window."
+    )
+
+    import dlwpbench_tpu.models  # noqa: F401  (registers the zoo)
+
+    model = registry.build_model(cfg.model)
+    ctx = int(cfg.model.context_size)
+    train_ds, val_ds, test_ds, stats = build_datasets(
+        cfg.data, cfg.training, cfg.validation, cfg.get("testing"), ctx
+    )
+
+    lat_w = None
+    if cfg.data.get("healpix_nside") in (None, "null") and "height" in cfg.data:
+        lats = np.linspace(
+            -90 + 180 / cfg.data.height / 2, 90 - 180 / cfg.data.height / 2,
+            cfg.data.height,
+        )
+        lat_w = latitude_weights(lats)[:, None]
+
+    trainer = Trainer(
+        model,
+        learning_rate=float(cfg.training.learning_rate),
+        weight_decay=float(cfg.training.optimizer_weight_decay),
+        epochs=int(cfg.training.epochs),
+        clip_gradients=bool(cfg.training.clip_gradients),
+        gradient_accumulation_steps=int(cfg.training.gradient_accumulation_steps),
+        lat_weights=lat_w,
+        seed=int(cfg.get("seed", 1234)),
+    )
+
+    first = next(iter(train_ds.batches(1)))
+    state = trainer.init(first)
+    if cfg.verbose:
+        print(f"Model {cfg.model.name} has {trainer.n_params(state)} trainable parameters")
+
+    run_dir = cfg.get("run_dir") or os.path.join("outputs", cfg.model.name)
+    os.makedirs(run_dir, exist_ok=True)
+    save_config(cfg, os.path.join(run_dir, "config.yaml"))
+
+    if cfg.training.continue_training:
+        state = load_checkpoint(run_dir, cfg.model.name, state, kind="last")
+        print(f"Restored epoch {state.epoch}")
+
+    trainer.fit(
+        state,
+        train_ds,
+        val_ds,
+        batch_size=int(cfg.training.batch_size),
+        val_batch_size=int(cfg.validation.batch_size),
+        run_dir=run_dir if cfg.training.save_model else None,
+        model_name=cfg.model.name,
+        verbose=bool(cfg.verbose),
+    )
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

@@ -1,0 +1,169 @@
+"""Tests for the data layer: NS solver physics, windowed dataset semantics."""
+
+import numpy as np
+import pytest
+
+
+class TestNS2D:
+    def test_solver_basic(self):
+        import jax
+
+        from dlwpbench_tpu.data import ns2d
+
+        key = jax.random.PRNGKey(0)
+        n = 32
+        w0 = ns2d.gaussian_random_field(key, n, batch=2)
+        assert w0.shape == (2, n, n)
+        traj = np.asarray(
+            ns2d.simulate(w0, n=n, nu=1e-3, dt=1e-3, record_steps=3, inner_steps=20)
+        )
+        assert traj.shape == (2, 4, n, n)
+        assert np.isfinite(traj).all()
+        # viscosity + small forcing: enstrophy must not blow up
+        ens = (traj**2).mean(axis=(2, 3))
+        assert ens[:, -1].max() < ens[:, 0].max() * 2.0
+
+    def test_grf_zero_mean(self):
+        import jax
+
+        from dlwpbench_tpu.data import ns2d
+
+        w0 = np.asarray(ns2d.gaussian_random_field(jax.random.PRNGKey(1), 64, 4))
+        assert abs(w0.mean()) < 1e-3  # k=0 mode removed
+        assert w0.std() > 0.1
+
+    def test_pure_diffusion_decay(self):
+        """With zero forcing, high viscosity: amplitude decays ~exp(-nu k^2 t)."""
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.data import ns2d
+
+        n = 32
+        x = np.linspace(0, 1, n, endpoint=False)
+        X, Y = np.meshgrid(x, x, indexing="ij")
+        k = 2
+        w0 = jnp.asarray(np.sin(2 * np.pi * k * X))[None]
+        nu, dt, steps = 1e-2, 1e-3, 100
+        traj = np.asarray(
+            ns2d.simulate(
+                w0, n=n, nu=nu, dt=dt, record_steps=1, inner_steps=steps,
+                forcing=jnp.zeros((n, n)),
+            )
+        )
+        t = dt * steps
+        expected = np.exp(-nu * (2 * np.pi * k) ** 2 * t)
+        ratio = np.abs(traj[0, 1]).max() / np.abs(traj[0, 0]).max()
+        assert ratio == pytest.approx(expected, rel=1e-3)
+
+
+class TestWindowedDataset:
+    def _make(self, **kw):
+        from dlwpbench_tpu.data.dataset import WindowedWeatherDataset
+
+        T, Cq, H, W = 20, 2, 4, 8
+        prog = np.arange(T * Cq * H * W, dtype=np.float32).reshape(T, Cq, H, W)
+        pres = np.ones((T, 1, H, W), np.float32)
+        const = np.zeros((3, H, W), np.float32)
+        return (
+            WindowedWeatherDataset(
+                prognostic=prog, constants=const, prescribed=pres, **kw
+            ),
+            prog,
+        )
+
+    def test_item_semantics(self):
+        ds, prog = self._make(sequence_length=5, context_size=1)
+        assert len(ds) == (20 - 5) // 5
+        const, pres, p, tar = ds[1]
+        # window starts at item*seq = 5
+        np.testing.assert_array_equal(p, prog[5:10])
+        np.testing.assert_array_equal(tar, prog[6:11][1:])  # target[context:]
+        assert const.shape == (1, 3, 4, 8)
+        assert pres.shape == (5, 1, 4, 8)
+
+    def test_init_indices(self):
+        ds, prog = self._make(sequence_length=4, context_size=2, init_indices=[3, 7])
+        assert len(ds) == 2
+        _, _, p, tar = ds[1]
+        np.testing.assert_array_equal(p, prog[7:11])
+        np.testing.assert_array_equal(tar, prog[8:12][2:])
+
+    def test_batches(self):
+        ds, _ = self._make(sequence_length=5, context_size=1)
+        batches = list(ds.batches(2))
+        assert batches[0][2].shape == (2, 5, 2, 4, 8)
+        assert batches[0][3].shape == (2, 4, 2, 4, 8)
+
+    def test_zero_fill_past_end(self):
+        ds, prog = self._make(sequence_length=6, context_size=1, init_indices=[16])
+        _, _, p, tar = ds[0]
+        assert p.shape[0] == 6
+        assert (tar[-2:] == 0).all()  # beyond T=20 zero-filled
+
+    def test_normalize(self):
+        from dlwpbench_tpu.data.dataset import normalize_variables
+
+        raw = {"t2m": np.array([[1.0, 2.0], [3.0, np.nan]])}
+        out, stats = normalize_variables(raw)
+        assert np.isfinite(out["t2m"]).all()
+        assert abs(out["t2m"][0, 0] - (1 - stats["t2m"].mean) / stats["t2m"].std) < 1e-6
+
+    def test_biweekly_inits(self):
+        import pandas as pd
+
+        from dlwpbench_tpu.data.dataset import biweekly_init_indices
+
+        times = pd.date_range("2017-01-01", "2017-02-01", freq="1h").values
+        idx = biweekly_init_indices(
+            times, np.datetime64("2017-01-01"), np.datetime64("2017-02-01")
+        )
+        t = pd.DatetimeIndex(times[idx])
+        assert len(idx) > 0
+        assert set(t.dayofweek) <= {0, 3}
+        assert (t.hour == 11).all()
+
+
+class TestMetrics:
+    def test_weighted_rmse_uniform(self):
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.evaluation.metrics import weighted_rmse
+
+        lats = np.linspace(-87.1875, 87.1875, 32)
+        out = jnp.zeros((3, 4, 32, 64))
+        tar = jnp.full((3, 4, 32, 64), 2.0)
+        r = np.asarray(weighted_rmse(out, tar, lats))
+        np.testing.assert_allclose(r, 2.0, rtol=1e-5)
+
+    def test_acc_perfect(self):
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.evaluation.metrics import acc
+
+        lats = np.linspace(-87.1875, 87.1875, 32)
+        rng = np.random.default_rng(0)
+        tar = jnp.asarray(rng.standard_normal((2, 3, 32, 64)), jnp.float32)
+        clim = jnp.zeros((1, 3, 32, 64))
+        a = np.asarray(acc(tar, tar, clim, lats))
+        np.testing.assert_allclose(a, 1.0, rtol=1e-5)
+
+    def test_melr_identical_fields(self):
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.training.losses import melr
+
+        lats = np.linspace(-87.1875, 87.1875, 16)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 16, 32)))
+        m, ratio = melr(x, x, lats)
+        assert abs(float(m)) < 1e-6
+
+    def test_mse_loss_weighted(self):
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.training.losses import latitude_weights, mse_loss
+
+        lats = np.linspace(-87.1875, 87.1875, 8)
+        w = jnp.asarray(latitude_weights(lats))[:, None]
+        pred = jnp.zeros((2, 8, 4))
+        tar = jnp.ones((2, 8, 4))
+        assert float(mse_loss(pred, tar, w)) == pytest.approx(1.0, rel=1e-6)
