@@ -7,6 +7,17 @@ Registered `type` strings match the reference's config `model/*.yaml` values
 from dlwpbench_tpu.models import registry
 from dlwpbench_tpu.models.registry import build_model, get_model_class, register
 from dlwpbench_tpu.models.unet import UNet, UNetHPX
+from dlwpbench_tpu.models.convlstm import ConvLSTM, ConvLSTMHPX
+from dlwpbench_tpu.models.fno import FNO2DModule, TFNO2DModule
+from dlwpbench_tpu.models.fourcastnet import FourCastNet
 
-registry.register("UNet")(UNet)
-registry.register("UNetHPX")(UNetHPX)
+for _name, _cls in {
+    "UNet": UNet,
+    "UNetHPX": UNetHPX,
+    "ConvLSTM": ConvLSTM,
+    "ConvLSTMHPX": ConvLSTMHPX,
+    "FNO2DModule": FNO2DModule,
+    "TFNO2DModule": TFNO2DModule,
+    "FourCastNet": FourCastNet,
+}.items():
+    registry.register(_name)(_cls)

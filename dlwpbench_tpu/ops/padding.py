@@ -39,8 +39,10 @@ def cylinder_pad(x: jax.Array, padding: int) -> jax.Array:
 
 @functools.lru_cache(maxsize=None)
 def _pad_tables(nside: int, padding: int):
+    # Cache NUMPY arrays (never jnp): a jnp array created under a jit trace
+    # would cache a tracer and leak it into later traces.
     idx, w = hpx_geom.build_pad_indices(nside, padding)
-    return jnp.asarray(idx.reshape(-1)), jnp.asarray(w.reshape(*w.shape))
+    return idx.reshape(-1), w
 
 
 def healpix_pad(x: jax.Array, padding: int) -> jax.Array:
@@ -58,9 +60,9 @@ def healpix_pad(x: jax.Array, padding: int) -> jax.Array:
     assert F == 12 and H == W, f"expected [..., 12, n, n], got {x.shape}"
     idx_flat, w = _pad_tables(H, padding)
     flat = x.reshape(*lead, F * H * W)
-    gathered = jnp.take(flat, idx_flat, axis=-1)  # [..., 12*Hp*Wp*2]
+    gathered = jnp.take(flat, jnp.asarray(idx_flat), axis=-1)
     gathered = gathered.reshape(*lead, *w.shape)
-    return (gathered * w.astype(x.dtype)).sum(-1)
+    return (gathered * jnp.asarray(w, x.dtype)).sum(-1)
 
 
 def healpix_pad_channels_last(x: jax.Array, padding: int) -> jax.Array:
@@ -78,6 +80,6 @@ def healpix_pad_channels_last(x: jax.Array, padding: int) -> jax.Array:
     assert F == 12 and H == W, f"expected [B, 12, n, n, C], got {x.shape}"
     idx_flat, w = _pad_tables(H, padding)
     flat = x.reshape(B, F * H * W, C)
-    gathered = jnp.take(flat, idx_flat, axis=1)  # [B, 12*Hp*Wp*2, C]
+    gathered = jnp.take(flat, jnp.asarray(idx_flat), axis=1)  # [B, 12*Hp*Wp*2, C]
     gathered = gathered.reshape(B, *w.shape, C)  # [B, 12, Hp, Wp, 2, C]
-    return (gathered * w[..., None].astype(x.dtype)).sum(-2)
+    return (gathered * jnp.asarray(w, x.dtype)[..., None]).sum(-2)

@@ -1,0 +1,176 @@
+"""Spectral ops: FNO spectral convolution (full + Tucker-factorized) and the
+AFNO blockwise frequency-domain MLP filter.
+
+References:
+- SpectralConv2d (`models/unet/unet.py:19-69`): rfft2, complex per-mode
+  channel mixing on the low-frequency corners ([:m1, :m2] and [-m1:, :m2]),
+  irfft2.  Weight init U(0, 1/(Cin*Cout)).
+- neuraloperator FNO/TFNO (`models/fno/fno.py:7,38-47`): Tucker-factorized
+  complex weights with fractional `rank`.
+- AFNO2D (`models/fourcastnet/fourcastnet.py:59-127`): rfft2 (ortho),
+  reshape channels into `num_blocks`, two-layer complex MLP with ReLU on the
+  kept mode band, softshrink sparsity, irfft2, residual add.
+
+TPU notes: all frequency-domain contractions are expressed as real einsums
+(real/imag parts separately) so they lower to MXU matmuls; mode truncation
+uses static slices; fp32 accumulation throughout (AFNO upcasts internally
+like the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def softshrink(x: jax.Array, lambd: float) -> jax.Array:
+    """torch.nn.functional.softshrink."""
+    return jnp.where(x > lambd, x - lambd, jnp.where(x < -lambd, x + lambd, 0.0))
+
+
+class SpectralConv2d(nn.Module):
+    """FNO 2D Fourier layer on channels-last inputs [B, H, W, C].
+
+    Matches the reference SpectralConv2d semantics: keeps modes
+    [:m1, :m2] and [-m1:, :m2] of the (full H x half W) rfft2 spectrum and
+    mixes channels with complex weights per mode.
+
+    `tucker_rank`: if set (fraction in (0, 1]), the complex weight tensor
+    [Cin, Cout, m1, m2] is Tucker-factorized (core + 4 factor matrices, as in
+    neuraloperator's TFNO with tensorly) with per-dim core sizes
+    ceil(rank_factor * dim); the full weight is reconstructed by einsum at
+    call time (negligible cost at FNO mode counts, keeps the contraction on
+    the MXU).
+    """
+
+    out_channels: int
+    modes1: int = 12
+    modes2: int = 12
+    tucker_rank: float | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        B, H, W, Cin = x.shape
+        Cout = self.out_channels
+        m1, m2 = min(self.modes1, H), min(self.modes2, W // 2 + 1)
+        scale = 1.0 / (Cin * Cout)
+
+        def weight(name):
+            if self.tucker_rank is None:
+                return self.param(
+                    name,
+                    lambda k: scale
+                    * jax.random.uniform(k, (Cin, Cout, m1, m2, 2)),
+                )
+            # Tucker factorization: core [r0,r1,r2,r3] + factors per dim.
+            rank = self.tucker_rank
+            dims = (Cin, Cout, m1, m2)
+            # tensorly `validate_tucker_rank` with a float rank picks core
+            # sizes so the compression ratio ~= rank; a faithful simple rule
+            # is ceil(rank**(1/4) ... ) — we use per-dim fraction which is
+            # tensorly's behavior for float rank applied per mode.
+            core_dims = tuple(max(1, int(round(d * rank ** 0.5))) for d in dims)
+            core = self.param(
+                f"{name}_core",
+                lambda k: scale * jax.random.normal(k, (*core_dims, 2)),
+            )
+            factors = [
+                self.param(
+                    f"{name}_factor{i}",
+                    lambda k, d=d, r=r: jax.random.normal(k, (d, r))
+                    / np.sqrt(r),
+                )
+                for i, (d, r) in enumerate(zip(dims, core_dims))
+            ]
+            w = jnp.einsum(
+                "abcdx,ia,jb,kc,ld->ijklx",
+                core,
+                factors[0],
+                factors[1],
+                factors[2],
+                factors[3],
+            )
+            return w
+
+        w1 = weight("weights1")
+        w2 = weight("weights2")
+
+        x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))  # [B,H,Wf,C]
+
+        def mix(block, w):
+            # block: [B, m1, m2, Cin] complex; w: [Cin, Cout, m1, m2, 2]
+            wc = w[..., 0] + 1j * w[..., 1]
+            return jnp.einsum("bxyi,ioxy->bxyo", block, wc)
+
+        top = mix(x_ft[:, :m1, :m2, :], w1)
+        bot = mix(x_ft[:, H - m1 :, :m2, :], w2)
+
+        out_ft = jnp.zeros((B, H, W // 2 + 1, Cout), jnp.complex64)
+        out_ft = out_ft.at[:, :m1, :m2].set(top)
+        out_ft = out_ft.at[:, H - m1 :, :m2].set(bot)
+        out = jnp.fft.irfft2(out_ft, s=(H, W), axes=(1, 2))
+        return out.astype(x.dtype)
+
+
+class AFNO2DFilter(nn.Module):
+    """AFNO frequency-domain blockwise MLP (reference `fourcastnet.py:59-127`).
+
+    Operates on [B, H, W, C] token grids; returns filtered + residual.
+    """
+
+    hidden_size: int
+    num_blocks: int = 8
+    sparsity_threshold: float = 0.01
+    hard_thresholding_fraction: float = 1.0
+    hidden_size_factor: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        assert self.hidden_size % self.num_blocks == 0
+        nb = self.num_blocks
+        bs = self.hidden_size // nb
+        bf = bs * self.hidden_size_factor
+        scale = 0.02
+        w1 = self.param("w1", lambda k: scale * jax.random.normal(k, (2, nb, bs, bf)))
+        b1 = self.param("b1", lambda k: scale * jax.random.normal(k, (2, nb, bf)))
+        w2 = self.param("w2", lambda k: scale * jax.random.normal(k, (2, nb, bf, bs)))
+        b2 = self.param("b2", lambda k: scale * jax.random.normal(k, (2, nb, bs)))
+
+        bias = x
+        dtype = x.dtype
+        B, H, W, C = x.shape
+        xf = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2), norm="ortho")
+        xf = xf.reshape(B, H, W // 2 + 1, nb, bs)
+
+        total_modes = H // 2 + 1
+        kept = int(total_modes * self.hard_thresholding_fraction)
+        # The reference's band: rows [total-kept : total+kept], cols [:kept]
+        r0, r1 = total_modes - kept, min(total_modes + kept, H)
+        sl = xf[:, r0:r1, :kept]
+
+        def blockmm(a, w):
+            return jnp.einsum("...bi,bio->...bo", a, w)
+
+        o1r = jax.nn.relu(
+            blockmm(sl.real, w1[0]) - blockmm(sl.imag, w1[1]) + b1[0]
+        )
+        o1i = jax.nn.relu(
+            blockmm(sl.imag, w1[0]) + blockmm(sl.real, w1[1]) + b1[1]
+        )
+        o2r = blockmm(o1r, w2[0]) - blockmm(o1i, w2[1]) + b2[0]
+        o2i = blockmm(o1i, w2[0]) + blockmm(o1r, w2[1]) + b2[1]
+
+        out_r = jnp.zeros((B, H, W // 2 + 1, nb, bs), jnp.float32)
+        out_i = jnp.zeros((B, H, W // 2 + 1, nb, bs), jnp.float32)
+        out_r = out_r.at[:, r0:r1, :kept].set(o2r)
+        out_i = out_i.at[:, r0:r1, :kept].set(o2i)
+
+        out_r = softshrink(out_r, self.sparsity_threshold)
+        out_i = softshrink(out_i, self.sparsity_threshold)
+        xf = (out_r + 1j * out_i).reshape(B, H, W // 2 + 1, C)
+        out = jnp.fft.irfft2(xf, s=(H, W), axes=(1, 2), norm="ortho")
+        return out.astype(dtype) + bias
