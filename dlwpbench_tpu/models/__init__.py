@@ -10,6 +10,7 @@ from dlwpbench_tpu.models.unet import UNet, UNetHPX
 from dlwpbench_tpu.models.convlstm import ConvLSTM, ConvLSTMHPX
 from dlwpbench_tpu.models.fno import FNO2DModule, TFNO2DModule
 from dlwpbench_tpu.models.fourcastnet import FourCastNet
+from dlwpbench_tpu.models.sfno import SFNO2DModule
 
 for _name, _cls in {
     "UNet": UNet,
@@ -19,5 +20,6 @@ for _name, _cls in {
     "FNO2DModule": FNO2DModule,
     "TFNO2DModule": TFNO2DModule,
     "FourCastNet": FourCastNet,
+    "SFNO2DModule": SFNO2DModule,
 }.items():
     registry.register(_name)(_cls)

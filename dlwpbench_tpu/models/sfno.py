@@ -1,0 +1,120 @@
+"""SFNO — Spherical Fourier Neural Operator on the from-scratch SHT.
+
+Reference: `models/fno/fno.py:149-259` wraps torch-harmonics'
+`SphericalFourierNeuralOperatorNet` (config `configs/model/sfno.yaml`:
+equiangular grid, embed_dim 256, num_layers 4, scale_factor 1,
+operator_type "driscoll-healy", big_skip, pos_embed, use_mlp,
+no normalization).  Architecture reproduced here:
+
+    encoder: 1x1 Dense(embed) -> gelu -> Dense(embed)  (+ pos embed)
+    num_layers x block:
+        y = ISHT( W_l . SHT(x) ) + Dense_skip(x); x = gelu(y)
+        x = x + MLP(x)                      (use_mlp)
+    big skip: concat encoder input; decoder: Dense -> gelu -> Dense(out)
+
+"driscoll-healy" operator: the spectral weight is diagonal in (l, m) and
+shared across m — W[l] contracts channels only (an isotropic spherical
+convolution).  The contraction is a single real einsum pair on the MXU.
+
+The SHT itself is `ops/sht.py` (least-squares analysis on equiangular
+grids — exact bandlimited round trip, see that module).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from dlwpbench_tpu.models.base import RolloutModel
+from dlwpbench_tpu.ops.sht import isht, sht, sht_tables
+
+
+class SphericalConv(nn.Module):
+    """Driscoll-Healy spherical convolution: per-degree channel mixing."""
+
+    features: int
+    nlat: int
+    nlon: int
+    grid: str = "equiangular"
+    lmax: int | None = None
+    mmax: int | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        # x: [B, H, W, C]
+        B, H, W, Cin = x.shape
+        t = sht_tables(self.nlat, self.nlon, self.lmax, self.mmax, self.grid)
+        scale = 1.0 / np.sqrt(Cin * self.features)
+        w = self.param(
+            "weight",
+            lambda k: scale * jax.random.normal(k, (Cin, self.features, t.lmax, 2)),
+        )
+        a = sht(jnp.moveaxis(x, -1, 1), t)  # [B, C, l, m] complex
+        wc = (w[..., 0] + 1j * w[..., 1]).astype(a.dtype)
+        out = jnp.einsum("bilm,iol->bolm", a, wc)
+        y = isht(out, t)  # [B, Cout, H, W]
+        return jnp.moveaxis(y, 1, -1).astype(x.dtype)
+
+
+class SFNO2DModule(RolloutModel):
+    """Reference `SFNO2DModule` (config `type: SFNO2DModule`)."""
+
+    name: str = "sfno2d"
+    constant_channels: int = 4
+    prescribed_channels: int = 1
+    prognostic_channels: int = 8
+    grid: str = "equiangular"
+    num_layers: int = 4
+    scale_factor: int = 1
+    embed_dim: int = 256
+    operator_type: str = "driscoll-healy"
+    context_size: int = 1
+    height: int = 32
+    width: int = 64
+    hard_thresholding_fraction: float = 1.0
+    rank: float = 1.0
+    big_skip: bool = True
+    pos_embed: bool = True
+    use_mlp: bool = True
+    mesh: str = "equirectangular"
+
+    @nn.compact
+    def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
+        B, H, W, Cin = x.shape
+        D = self.embed_dim
+        lmax = max(
+            1,
+            int((H // max(1, self.scale_factor)) * self.hard_thresholding_fraction),
+        )
+
+        inp = x
+        x = nn.Dense(D)(x)
+        x = nn.gelu(x)
+        x = nn.Dense(D)(x)
+        if self.pos_embed:
+            pos = self.param(
+                "pos_embed", nn.initializers.zeros, (1, H, W, D)
+            )
+            x = x + pos
+
+        for _ in range(self.num_layers):
+            y = SphericalConv(
+                D, nlat=H, nlon=W, grid=self.grid, lmax=lmax
+            )(x)
+            y = y + nn.Dense(D)(x)  # inner skip
+            x = nn.gelu(y)
+            if self.use_mlp:
+                h = nn.Dense(2 * D)(x)
+                h = nn.gelu(h)
+                x = x + nn.Dense(D)(h)
+
+        if self.big_skip:
+            x = jnp.concatenate([x, inp], axis=-1)
+        x = nn.Dense(D)(x)
+        x = nn.gelu(x)
+        out = nn.Dense(self.prognostic_channels)(x)
+        return out, state

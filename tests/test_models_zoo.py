@@ -218,3 +218,38 @@ class TestSpectralOps:
         n_full = sum(v.size for v in jax.tree.leaves(full.init(jax.random.PRNGKey(0), x)))
         n_tuck = sum(v.size for v in jax.tree.leaves(tuck.init(jax.random.PRNGKey(0), x)))
         assert n_tuck < n_full
+
+
+class TestSFNO:
+    def test_sfno_shapes(self):
+        from dlwpbench_tpu.models.sfno import SFNO2DModule
+
+        _run(
+            SFNO2DModule(
+                constant_channels=2,
+                prescribed_channels=1,
+                prognostic_channels=2,
+                embed_dim=32,
+                num_layers=2,
+                height=16,
+                width=32,
+            )
+        )
+
+    def test_spherical_conv_isotropy(self):
+        """A Driscoll-Healy operator commutes with longitude rotation."""
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from dlwpbench_tpu.models.sfno import SphericalConv
+
+        H, W, C = 16, 32, 3
+        layer = SphericalConv(C, nlat=H, nlon=W)
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, H, W, C)), jnp.float32
+        )
+        params = layer.init(jax.random.PRNGKey(0), x)
+        y1 = np.asarray(layer.apply(params, jnp.roll(x, 5, axis=2)))
+        y2 = np.roll(np.asarray(layer.apply(params, x)), 5, axis=2)
+        np.testing.assert_allclose(y1, y2, atol=2e-4)
