@@ -11,6 +11,12 @@ from dlwpbench_tpu.models.convlstm import ConvLSTM, ConvLSTMHPX
 from dlwpbench_tpu.models.fno import FNO2DModule, TFNO2DModule
 from dlwpbench_tpu.models.fourcastnet import FourCastNet
 from dlwpbench_tpu.models.sfno import SFNO2DModule
+from dlwpbench_tpu.models.modern_unet import (
+    DiffModernUNet,
+    DiffMUNetHPX,
+    ModernUNet,
+    MUNetHPX,
+)
 
 for _name, _cls in {
     "UNet": UNet,
@@ -21,5 +27,9 @@ for _name, _cls in {
     "TFNO2DModule": TFNO2DModule,
     "FourCastNet": FourCastNet,
     "SFNO2DModule": SFNO2DModule,
+    "ModernUNet": ModernUNet,
+    "MUNetHPX": MUNetHPX,
+    "DiffModernUNet": DiffModernUNet,
+    "DiffMUNetHPX": DiffMUNetHPX,
 }.items():
     registry.register(_name)(_cls)

@@ -52,6 +52,7 @@ class TrainState:
     epoch: int = 0
     iteration: int = 0
     best_val_error: float = math.inf
+    ema_params: Any = None  # EMA of params for diffusion models (decay .995)
 
 
 class Trainer:
@@ -67,6 +68,10 @@ class Trainer:
         gradient_accumulation_steps: int = 1,
         lat_weights: np.ndarray | None = None,
         seed: int = 1234,
+        training_type: str = "regular",
+        num_refinement_steps: int = 5,
+        min_noise_std: float = 4e-4,
+        ema_decay: float = 0.995,
     ):
         self.model = model
         self.base_lr = learning_rate
@@ -75,12 +80,21 @@ class Trainer:
         self.accum = gradient_accumulation_steps
         self.lat_weights = None if lat_weights is None else jnp.asarray(lat_weights)
         self.seed = seed
+        self.training_type = training_type
+        self.ema_decay = ema_decay
+        if training_type == "diffusion":
+            from dlwpbench_tpu.ops import ddpm as ddpm_ops
+
+            self._sched = ddpm_ops.make_refiner_schedule(
+                num_refinement_steps, min_noise_std
+            )
         # inject_hyperparams lets the epoch-cosine LR be a traced input.
         self.tx = optax.inject_hyperparams(optax.adamw)(
             learning_rate=learning_rate, weight_decay=weight_decay
         )
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1))
         self._val_step = jax.jit(self._val_step_impl)
+        self._rng = jax.random.PRNGKey(seed)
 
     # ------------------------------------------------------------------
     def init(self, batch) -> TrainState:
@@ -89,23 +103,59 @@ class Trainer:
             jax.random.PRNGKey(self.seed),
             _j(const), _j(pres), _j(prog),
         )
-        return TrainState(params=params, opt_state=self.tx.init(params))
+        # EMA must own its buffers: params get donated into the train step.
+        ema = (
+            jax.tree.map(jnp.copy, params)
+            if self.training_type == "diffusion"
+            else None
+        )
+        return TrainState(
+            params=params, opt_state=self.tx.init(params), ema_params=ema
+        )
 
     def n_params(self, state: TrainState) -> int:
         return sum(int(x.size) for x in jax.tree.leaves(state.params))
 
     # ------------------------------------------------------------------
-    def _loss_fn(self, params, const, pres, prog, target):
+    def _loss_fn(self, params, const, pres, prog, target, rng):
+        if self.training_type == "diffusion":
+            return self._diffusion_loss(params, const, pres, prog, target, rng)
         out = self.model.apply(params, const, pres, prog)
         return mse_loss(out, target), out
 
-    def _train_step_impl(self, params, opt_state, const, pres, prog, target, lr):
+    def _diffusion_loss(self, params, const, pres, prog, target, rng):
+        """v-prediction diffusion loss (reference `train.py:226-258`)."""
+        from dlwpbench_tpu.ops import ddpm as ddpm_ops
+
+        ctx = self.model.context_size
+        assert target.shape[1] == 1, (
+            "diffusion training requires sequence_length == context_size + 1 "
+            "(reference trains on a single residual target)"
+        )
+        kk, kn = jax.random.split(rng)
+        k = jax.random.randint(kk, (), 0, self._sched.num_timesteps - 1)
+        target_res = target - prog[:, ctx - 1 : ctx]
+        noise = jax.random.normal(kn, target_res.shape, target_res.dtype)
+        y_noised = ddpm_ops.add_noise(self._sched, target_res, noise, k)
+        out = self.model.apply(
+            params,
+            const,
+            None if pres is None else pres[:, :ctx],
+            prog[:, :ctx],
+            y_noised,
+            jnp.full((prog.shape[0],), k),
+            method="single_forward",
+        )
+        v_target = ddpm_ops.v_prediction_target(self._sched, target_res, noise, k)
+        return mse_loss(out[:, None], v_target), out
+
+    def _train_step_impl(self, params, opt_state, const, pres, prog, target, lr, rng):
         """One optimizer step over `accum` micro-batches (scan if accum>1)."""
         accum = self.accum
 
         def micro(c, p, g, t):
             (loss, _), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-                params, c, p, g, t
+                params, c, p, g, t, rng
             )
             return loss, grads
 
@@ -157,10 +207,18 @@ class Trainer:
         losses = []
         for batch in dataset.batches(batch_size, shuffle=shuffle):
             const, pres, prog, target = (_j(x) for x in batch)
+            self._rng, sub = jax.random.split(self._rng)
             state.params, state.opt_state, loss = self._train_step(
                 state.params, state.opt_state, const, pres, prog, target,
-                jnp.float32(lr),
+                jnp.float32(lr), sub,
             )
+            if state.ema_params is not None:
+                d = self.ema_decay
+                state.ema_params = jax.tree.map(
+                    lambda e, p: e * d + p * (1.0 - d),
+                    state.ema_params,
+                    state.params,
+                )
             state.iteration += 1
             losses.append(loss)
         state.epoch += 1
@@ -234,6 +292,7 @@ def save_checkpoint(run_dir: str, name: str, state: TrainState, kind: str = "las
             "epoch": state.epoch,
             "iteration": state.iteration,
             "best_val_error": state.best_val_error,
+            "ema_params": state.ema_params if state.ema_params is not None else {},
         }
     )
     tmp = path + ".tmp"
@@ -253,6 +312,7 @@ def load_checkpoint(run_dir: str, name: str, state: TrainState, kind: str = "bes
         "epoch": 0,
         "iteration": 0,
         "best_val_error": 0.0,
+        "ema_params": state.ema_params if state.ema_params is not None else {},
     }
     restored = serialization.from_bytes(tpl, blob)
     return TrainState(
@@ -261,4 +321,5 @@ def load_checkpoint(run_dir: str, name: str, state: TrainState, kind: str = "bes
         epoch=int(restored["epoch"]),
         iteration=int(restored["iteration"]),
         best_val_error=float(restored["best_val_error"]),
+        ema_params=restored["ema_params"] if state.ema_params is not None else None,
     )

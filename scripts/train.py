@@ -58,6 +58,10 @@ def main(argv):
         gradient_accumulation_steps=int(cfg.training.gradient_accumulation_steps),
         lat_weights=lat_w,
         seed=int(cfg.get("seed", 1234)),
+        training_type=str(cfg.training.get("type", "regular")),
+        num_refinement_steps=int(cfg.training.get("num_refinement_steps", 5)),
+        min_noise_std=float(cfg.training.get("min_noise_std", 4e-4)),
+        ema_decay=float(cfg.training.get("ema_decay", 0.995)),
     )
 
     first = next(iter(train_ds.batches(1)))
