@@ -11,6 +11,8 @@ from dlwpbench_tpu.models.convlstm import ConvLSTM, ConvLSTMHPX
 from dlwpbench_tpu.models.fno import FNO2DModule, TFNO2DModule
 from dlwpbench_tpu.models.fourcastnet import FourCastNet
 from dlwpbench_tpu.models.sfno import SFNO2DModule
+from dlwpbench_tpu.models.swin import SwinTransformer, SwinTransformerHPX
+from dlwpbench_tpu.models.pangu import PanguWeather
 from dlwpbench_tpu.models.modern_unet import (
     DiffModernUNet,
     DiffMUNetHPX,
@@ -27,6 +29,9 @@ for _name, _cls in {
     "TFNO2DModule": TFNO2DModule,
     "FourCastNet": FourCastNet,
     "SFNO2DModule": SFNO2DModule,
+    "SwinTransformer": SwinTransformer,
+    "SwinTransformerHPX": SwinTransformerHPX,
+    "PanguWeather": PanguWeather,
     "ModernUNet": ModernUNet,
     "MUNetHPX": MUNetHPX,
     "DiffModernUNet": DiffModernUNet,

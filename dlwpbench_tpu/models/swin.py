@@ -1,0 +1,299 @@
+"""Swin Transformer (+ HEALPix variant) — reference
+`models/swintransformer/swin_transformer.py`.
+
+Reference facts reproduced:
+- WindowAttention with relative-position bias table indexed by precomputed
+  pairwise offsets (`:74-154`), qk scale head_dim^-0.5, trunc-normal 0.02;
+- SwinTransformerBlock: pre-norm attention with cyclic shift + additive
+  -100 mask, circular-longitude / zero-latitude pad to window multiples
+  (`:200-264`), MLP with second residual;
+- BasicLayer: `depth` blocks alternating shift 0 / window//2, shift mask
+  built from the 9-region img-mask trick (`:380-401`), PatchMerging
+  (2x2 gather -> LayerNorm -> Linear 4C->2C, `:267-308`) between stages;
+- **global-size windows**: window_size = current resolution per stage
+  (`:561`), halving with each PatchMerging;
+- PatchEmbed conv k=s=patch with circular-lon pad (`:416-460`), optional
+  absolute pos embed (ape);
+- U-Net-style ConvTranspose decoder over the per-stage normed features with
+  skip concatenation, GELU, final 1x1 conv head (`:586-607,671-677`);
+- rollout/residual semantics from `RolloutModel`;
+- HPX variant: 12 faces arranged into a 3x4 rectangle and back
+  (`:826-847,867-879`).
+
+All masks/indices are computed in numpy at trace time (static shapes); the
+attention itself is batched einsums on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from dlwpbench_tpu.models.base import RolloutModel
+from dlwpbench_tpu.models.fourcastnet import Mlp, trunc_normal_init
+
+
+def window_partition(x: jax.Array, wh: int, ww: int) -> jax.Array:
+    """[B, H, W, C] -> [B*nW, wh*ww, C]"""
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // wh, wh, W // ww, ww, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(-1, wh * ww, C)
+
+
+def window_reverse(win: jax.Array, wh: int, ww: int, H: int, W: int) -> jax.Array:
+    """[B*nW, wh*ww, C] -> [B, H, W, C]"""
+    C = win.shape[-1]
+    B = win.shape[0] // (H * W // wh // ww)
+    x = win.reshape(B, H // wh, W // ww, wh, ww, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(B, H, W, C)
+
+
+@functools.lru_cache(maxsize=None)
+def relative_position_index(wh: int, ww: int) -> np.ndarray:
+    """Pairwise relative-position bias indices (reference `:100-113`)."""
+    coords = np.stack(
+        np.meshgrid(np.arange(wh), np.arange(ww), indexing="ij")
+    ).reshape(2, -1)
+    rel = coords[:, :, None] - coords[:, None, :]
+    rel = rel.transpose(1, 2, 0)
+    rel[:, :, 0] += wh - 1
+    rel[:, :, 1] += ww - 1
+    rel[:, :, 0] *= 2 * ww - 1
+    return rel.sum(-1)  # [N, N]
+
+
+@functools.lru_cache(maxsize=None)
+def shift_attn_mask(Hp: int, Wp: int, wh: int, ww: int, sh: int, sw: int) -> np.ndarray:
+    """Shifted-window attention mask [nW, N, N] of {0, -100} (`:380-401`)."""
+    img = np.zeros((Hp, Wp))
+    cnt = 0
+    for hs in (slice(0, -wh), slice(-wh, -sh if sh else None), slice(-sh, None) if sh else slice(0, 0)):
+        for ws in (slice(0, -ww), slice(-ww, -sw if sw else None), slice(-sw, None) if sw else slice(0, 0)):
+            img[hs, ws] = cnt
+            cnt += 1
+    win = img.reshape(Hp // wh, wh, Wp // ww, ww).transpose(0, 2, 1, 3).reshape(-1, wh * ww)
+    diff = win[:, None, :] - win[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    window: tuple[int, int]
+    num_heads: int
+    qkv_bias: bool = True
+    qk_scale: Optional[float] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
+        # x: [B_, N, C]; mask: [nW, N, N] or None
+        B_, N, C = x.shape
+        wh, ww = self.window
+        nh = self.num_heads
+        hd = C // nh
+        scale = self.qk_scale or hd**-0.5
+
+        bias_table = self.param(
+            "relative_position_bias_table",
+            trunc_normal_init(),
+            ((2 * wh - 1) * (2 * ww - 1), nh),
+        )
+        idx = jnp.asarray(relative_position_index(wh, ww))
+        rel_bias = bias_table[idx.reshape(-1)].reshape(N, N, nh)
+        rel_bias = rel_bias.transpose(2, 0, 1)  # [nh, N, N]
+
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=trunc_normal_init())(x)
+        qkv = qkv.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+        q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [B_, nh, N, hd]
+
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) + rel_bias[None]
+        if mask is not None:
+            nW = mask.shape[0]
+            attn = attn.reshape(B_ // nW, nW, nh, N, N) + mask[None, :, None]
+            attn = attn.reshape(B_, nh, N, N)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+        return nn.Dense(C, kernel_init=trunc_normal_init())(out)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: tuple[int, int]
+    shift: tuple[int, int]
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    mesh: str = "equirectangular"
+
+    @nn.compact
+    def __call__(self, x: jax.Array, H: int, W: int):
+        # x: [B, H*W, C]
+        B, L, C = x.shape
+        wh, ww = self.window
+        sh, sw = self.shift
+        shortcut = x
+        x = nn.LayerNorm()(x).reshape(B, H, W, C)
+
+        # pad to window multiples: circular lon, zero lat (`:220-222`)
+        pad_b = (wh - H % wh) % wh
+        pad_r = (ww - W % ww) % ww
+        if pad_r:
+            if self.mesh == "equirectangular":
+                x = jnp.concatenate([x, x[:, :, :pad_r]], axis=2)
+            else:
+                x = jnp.pad(x, ((0, 0), (0, 0), (0, pad_r), (0, 0)))
+        if pad_b:
+            x = jnp.pad(x, ((0, 0), (0, pad_b), (0, 0), (0, 0)))
+        Hp, Wp = H + pad_b, W + pad_r
+
+        if sh or sw:
+            x = jnp.roll(x, (-sh, -sw), axis=(1, 2))
+            mask = jnp.asarray(shift_attn_mask(Hp, Wp, wh, ww, sh, sw))
+        else:
+            mask = None
+
+        win = window_partition(x, wh, ww)
+        win = WindowAttention(
+            self.dim, (wh, ww), self.num_heads, self.qkv_bias
+        )(win, mask)
+        x = window_reverse(win, wh, ww, Hp, Wp)
+
+        if sh or sw:
+            x = jnp.roll(x, (sh, sw), axis=(1, 2))
+        x = x[:, :H, :W].reshape(B, H * W, C)
+
+        x = shortcut + x
+        x = x + Mlp(int(C * self.mlp_ratio), C)(nn.LayerNorm()(x))
+        return x
+
+
+class PatchMerging(nn.Module):
+    dim: int
+
+    @nn.compact
+    def __call__(self, x: jax.Array, H: int, W: int):
+        B, L, C = x.shape
+        x = x.reshape(B, H, W, C)
+        x0 = x[:, 0::2, 0::2]
+        x1 = x[:, 1::2, 0::2]
+        x2 = x[:, 0::2, 1::2]
+        x3 = x[:, 1::2, 1::2]
+        x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(B, -1, 4 * C)
+        x = nn.LayerNorm()(x)
+        return nn.Dense(2 * C, use_bias=False, kernel_init=trunc_normal_init())(x)
+
+
+class SwinTransformer(RolloutModel):
+    """Reference `SwinTransformer` (config `type: SwinTransformer`)."""
+
+    name: str = "swin"
+    img_height: int = 32
+    img_width: int = 64
+    patch_size: int = 1
+    constant_channels: int = 4
+    prescribed_channels: int = 0
+    prognostic_channels: int = 1
+    embed_dim: int = 96
+    depths: Sequence[int] = (4, 4)
+    num_heads: Sequence[int] = (4, 4)
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    ape: bool = False
+    patch_norm: bool = True
+    context_size: int = 1
+    mesh: str = "equirectangular"
+
+    def _grid_hw(self) -> tuple[int, int]:
+        if self.mesh == "healpix":
+            # faces arranged 3 rows x 4 cols (`:826-847`)
+            return 3 * self.img_height, 4 * self.img_width
+        return self.img_height, self.img_width
+
+    @nn.compact
+    def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
+        # HEALPix: [B, F, H, W, C] -> 3x4 rectangle of faces
+        if self.mesh == "healpix":
+            B, F, H, W, C = x.shape
+            x = x.reshape(B, 3, 4, H, W, C).transpose(0, 1, 3, 2, 4, 5)
+            x = x.reshape(B, 3 * H, 4 * W, C)
+        B, H0, W0, Cin = x.shape
+        p = self.patch_size
+
+        # PatchEmbed (circular-lon pad to patch multiple, conv k=s=p)
+        if W0 % p:
+            x = jnp.concatenate([x, x[:, :, : p - W0 % p]], axis=2)
+        if H0 % p:
+            x = jnp.pad(x, ((0, 0), (0, p - H0 % p), (0, 0), (0, 0)))
+        x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID")(x)
+        Wh, Ww = x.shape[1], x.shape[2]
+        if self.patch_norm:
+            x = nn.LayerNorm()(x.reshape(B, -1, self.embed_dim)).reshape(
+                B, Wh, Ww, self.embed_dim
+            )
+        if self.ape:
+            pos = self.param(
+                "absolute_pos_embed", trunc_normal_init(), (1, Wh, Ww, self.embed_dim)
+            )
+            x = x + pos
+        x = x.reshape(B, Wh * Ww, self.embed_dim)
+
+        # encoder stages with global-size windows, halving resolution
+        n_layers = len(self.depths)
+        feats = []
+        H, W = Wh, Ww
+        res_h, res_w = Wh, Ww
+        for i in range(n_layers):
+            dim = int(self.embed_dim * 2**i)
+            window = (res_h, res_w)
+            shift = (res_h // 2, res_w // 2)
+            for d in range(self.depths[i]):
+                blk_shift = (0, 0) if d % 2 == 0 else shift
+                x = SwinBlock(
+                    dim,
+                    self.num_heads[i],
+                    window,
+                    blk_shift,
+                    self.mlp_ratio,
+                    self.qkv_bias,
+                    mesh=self.mesh,
+                )(x, H, W)
+            x_out = nn.LayerNorm()(x)
+            feats.append(x_out.reshape(B, H, W, dim))
+            if i < n_layers - 1:
+                x = PatchMerging(dim)(x, H, W)
+                H, W = (H + 1) // 2, (W + 1) // 2
+                res_h, res_w = res_h // 2, res_w // 2
+
+        # U-Net style ConvTranspose decoder (`:586-607,671-677`)
+        feats = feats[::-1]
+        y = None
+        for idx, i_layer in enumerate(range(n_layers)[::-1]):
+            ch = int(self.embed_dim * 2**i_layer)
+            x_in = feats[idx] if idx == 0 else jnp.concatenate([feats[idx], y], -1)
+            k = p if i_layer == 0 else 2
+            out_ch = ch if i_layer == 0 else ch // 2
+            y = nn.ConvTranspose(out_ch, (k, k), strides=(k, k), padding="VALID")(x_in)
+            y = nn.gelu(y)
+        out = nn.Conv(self.prognostic_channels, (1, 1))(y)
+        out = out[:, : H0, : W0]
+
+        if self.mesh == "healpix":
+            Hf, Wf = self.img_height, self.img_width
+            out = out.reshape(B, 3, Hf, 4, Wf, self.prognostic_channels)
+            out = out.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, 12, Hf, Wf, self.prognostic_channels
+            )
+        return out, state
+
+
+class SwinTransformerHPX(SwinTransformer):
+    """HEALPix Swin (reference `SwinTransformerHPX`, `:762-879`)."""
+
+    mesh: str = "healpix"

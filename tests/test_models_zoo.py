@@ -253,3 +253,69 @@ class TestSFNO:
         y1 = np.asarray(layer.apply(params, jnp.roll(x, 5, axis=2)))
         y2 = np.roll(np.asarray(layer.apply(params, x)), 5, axis=2)
         np.testing.assert_allclose(y1, y2, atol=2e-4)
+
+
+class TestAttentionFamily:
+    def test_swin(self):
+        from dlwpbench_tpu.models.swin import SwinTransformer
+
+        _run(
+            SwinTransformer(
+                img_height=16,
+                img_width=32,
+                patch_size=1,
+                constant_channels=2,
+                prescribed_channels=1,
+                prognostic_channels=2,
+                embed_dim=16,
+                depths=(2, 2),
+                num_heads=(2, 2),
+            )
+        )
+
+    def test_swin_hpx(self):
+        from dlwpbench_tpu.models.swin import SwinTransformerHPX
+
+        _run(
+            SwinTransformerHPX(
+                img_height=8,
+                img_width=8,
+                patch_size=1,
+                constant_channels=2,
+                prescribed_channels=1,
+                prognostic_channels=2,
+                embed_dim=16,
+                depths=(2,),
+                num_heads=(2,),
+            ),
+            spatial=(12, 8, 8),
+        )
+
+    def test_pangu(self):
+        from dlwpbench_tpu.models.pangu import PanguWeather
+
+        _run(
+            PanguWeather(
+                constant_channels=2,
+                prescribed_channels=1,
+                prognostic_channels=2,
+                embed_dim=24,
+                num_heads=(2, 4, 4, 2),
+                window_size=(2, 6, 12),
+                patch_size=(1, 1),
+                n_lat=16,
+                n_lon=32,
+            )
+        )
+
+    def test_registry_complete(self):
+        import dlwpbench_tpu.models as zoo
+
+        names = zoo.registry.registered_models()
+        for expected in [
+            "UNet", "UNetHPX", "ConvLSTM", "ConvLSTMHPX", "FNO2DModule",
+            "TFNO2DModule", "FourCastNet", "SFNO2DModule", "ModernUNet",
+            "MUNetHPX", "DiffModernUNet", "DiffMUNetHPX", "SwinTransformer",
+            "SwinTransformerHPX", "PanguWeather",
+        ]:
+            assert expected in names, expected
