@@ -13,6 +13,8 @@ from dlwpbench_tpu.models.fourcastnet import FourCastNet
 from dlwpbench_tpu.models.sfno import SFNO2DModule
 from dlwpbench_tpu.models.swin import SwinTransformer, SwinTransformerHPX
 from dlwpbench_tpu.models.pangu import PanguWeather
+from dlwpbench_tpu.models.graphcast import GraphCastNet
+from dlwpbench_tpu.models.mgn import MeshGraphNet
 from dlwpbench_tpu.models.modern_unet import (
     DiffModernUNet,
     DiffMUNetHPX,
@@ -32,6 +34,8 @@ for _name, _cls in {
     "SwinTransformer": SwinTransformer,
     "SwinTransformerHPX": SwinTransformerHPX,
     "PanguWeather": PanguWeather,
+    "GraphCastNet": GraphCastNet,
+    "MeshGraphNet": MeshGraphNet,
     "ModernUNet": ModernUNet,
     "MUNetHPX": MUNetHPX,
     "DiffModernUNet": DiffModernUNet,

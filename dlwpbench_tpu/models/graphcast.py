@@ -1,0 +1,128 @@
+"""GraphCastNet — reference `models/graphcast/graph_cast_net.py` (+5k LoC of
+gnn_layers/utils), rebuilt on numpy graph arrays + segment-sum ops.
+
+Architecture (reference `:475-569` + gnn_layers):
+- grid input [B, C, H, W] -> node features [B, H*W, C];
+- GraphCastEncoderEmbedder: 4 MLPs embedding grid nodes, mesh node features
+  (cos lat/sin lon/cos lon), g2m edge features, multimesh edge features
+  (`gnn_layers/embedder.py:27-127`);
+- MeshGraphEncoder (g2m): e' = MLP(cat(e, grid[src], mesh[dst])),
+  mesh += MLP(cat(segsum e'->mesh, mesh)), grid += MLP(grid)
+  (`mesh_graph_encoder.py:123-138`);
+- processor: `processor_layers` pairs of MeshEdgeBlock/MeshNodeBlock over the
+  multimesh, first/last pairs acting as processor encoder/decoder around the
+  trunk (`graph_cast_processor.py:59-180`, `graph_cast_net.py:518-523`);
+- MeshGraphDecoder (m2g): embed m2g edges, e' = MLP(cat(e, mesh[src],
+  grid[dst])), grid += MLP(cat(segsum e'->grid, grid)); final MLP (no norm)
+  to prognostic channels (`mesh_graph_decoder.py`, `graph_cast_net.py:363-371`);
+- rollout/residual semantics from `RolloutModel`.
+
+The reference constrains batch_size==1 (`graph_cast_net.py:696-697`); this
+implementation is batch-polymorphic (graph ops vmap over batch).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from dlwpbench_tpu.grids.mesh_graph import build_graphcast_graphs
+from dlwpbench_tpu.models.base import RolloutModel
+from dlwpbench_tpu.ops.graph_ops import (
+    MeshEdgeBlock,
+    MeshGraphMLP,
+    MeshNodeBlock,
+    aggregate,
+)
+
+
+class GraphCastNet(RolloutModel):
+    """Reference `GraphCastNet` (config `type: GraphCastNet`)."""
+
+    name: str = "graphcast"
+    input_height: int = 32
+    input_width: int = 64
+    constant_channels: int = 4
+    prescribed_channels: int = 1
+    prognostic_channels: int = 8
+    mesh_level: int = 3
+    input_dim_mesh_nodes: int = 3
+    input_dim_edges: int = 4
+    processor_layers: int = 16
+    hidden_layers: int = 1
+    hidden_dim: int = 512
+    aggregation: str = "sum"
+    context_size: int = 1
+    mesh: str = "equirectangular"
+
+    @nn.compact
+    def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
+        B, H, W, Cin = x.shape
+        D, hl = self.hidden_dim, self.hidden_layers
+        mesh_g, g2m, m2g, mesh_nfeat0, _, _ = build_graphcast_graphs(
+            self.input_height, self.input_width, self.mesh_level
+        )
+        N, V = g2m.n_src, g2m.n_dst
+        grid = x.reshape(B, N, Cin)
+        mesh_nf = jnp.broadcast_to(jnp.asarray(mesh_nfeat0), (B, V, 3))
+        g2m_e = jnp.broadcast_to(
+            jnp.asarray(g2m.edge_feat), (B, *g2m.edge_feat.shape)
+        )
+        mesh_e = jnp.broadcast_to(
+            jnp.asarray(mesh_g.edge_feat), (B, *mesh_g.edge_feat.shape)
+        )
+        m2g_e = jnp.broadcast_to(
+            jnp.asarray(m2g.edge_feat), (B, *m2g.edge_feat.shape)
+        )
+
+        mlp = lambda: MeshGraphMLP(D, D, hl)
+
+        # --- encoder embedder (4 MLPs) ---
+        grid = mlp()(grid)
+        mesh_nf = mlp()(mesh_nf)
+        g2m_e = mlp()(g2m_e)
+        mesh_e = mlp()(mesh_e)
+
+        # --- g2m encoder ---
+        cat = jnp.concatenate(
+            [
+                g2m_e,
+                jnp.take(grid, jnp.asarray(g2m.src), axis=1),
+                jnp.take(mesh_nf, jnp.asarray(g2m.dst), axis=1),
+            ],
+            axis=-1,
+        )
+        g2m_e = mlp()(cat)
+        agg = aggregate(g2m_e, jnp.asarray(g2m.dst), V, self.aggregation)
+        mesh_nf = mesh_nf + mlp()(jnp.concatenate([agg, mesh_nf], -1))
+        grid = grid + mlp()(grid)
+
+        # --- processor over the multimesh ---
+        msrc, mdst = jnp.asarray(mesh_g.src), jnp.asarray(mesh_g.dst)
+        for _ in range(self.processor_layers):
+            mesh_e = MeshEdgeBlock(D, D, hl)(mesh_e, mesh_nf, mesh_nf, msrc, mdst)
+            mesh_nf = MeshNodeBlock(D, D, hl, self.aggregation)(
+                mesh_e, mesh_nf, mdst, V
+            )
+
+        # --- m2g decoder ---
+        m2g_e = mlp()(m2g_e)
+        cat = jnp.concatenate(
+            [
+                m2g_e,
+                jnp.take(mesh_nf, jnp.asarray(m2g.src), axis=1),
+                jnp.take(grid, jnp.asarray(m2g.dst), axis=1),
+            ],
+            axis=-1,
+        )
+        m2g_e = mlp()(cat)
+        agg = aggregate(m2g_e, jnp.asarray(m2g.dst), N, self.aggregation)
+        grid = grid + mlp()(jnp.concatenate([agg, grid], -1))
+
+        # final MLP, no norm (`graph_cast_net.py:363-371`)
+        out = MeshGraphMLP(self.prognostic_channels, D, hl, norm=False)(grid)
+        return out.reshape(B, H, W, self.prognostic_channels), state
