@@ -126,7 +126,13 @@ def _weatherbench_zarr(d, tr, va, te, ctx):
     everything else (role split, per-level normalization, NaN handling)
     mirrors `datasets.py:308-416`.
     """
-    import xarray as xr
+    try:
+        import xarray as xr
+    except ImportError as e:
+        raise ImportError(
+            "WeatherBenchZarr requires xarray/zarr, which are not available "
+            "in this image; use data=synthetic or data=navier_stokes instead."
+        ) from e
 
     path = d["data_path"]
     if not os.path.isdir(path):

