@@ -1,0 +1,94 @@
+"""Distributed 2D real FFT via transpose collectives (shard_map + all_to_all).
+
+Mirrors the reference's DistributedRFFT2 algorithm
+(`models/graphcast/distributed/fft.py:64-230`): 1D FFT along the local
+(unsharded) dim -> distributed transpose (all-to-all) -> 1D FFT along the
+other dim, with the backward pass running the communications in the opposite
+order (JAX derives that adjoint automatically from `all_to_all`).
+
+Layout contract (inside shard_map over mesh axis `axis_name` with P shards):
+- input  x_local: [..., H/P, W]   (latitude rows sharded)
+- output X_local: [..., H, Wf/P]  (frequency columns sharded), Wf = W//2+1
+  padded to a multiple of P.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _pad_to_multiple(x: jax.Array, axis: int, mult: int):
+    size = x.shape[axis]
+    pad = (-size) % mult
+    if pad:
+        cfg = [(0, 0)] * x.ndim
+        cfg[axis] = (0, pad)
+        x = jnp.pad(x, cfg)
+    return x, size
+
+
+def dist_rfft2(x_local: jax.Array, axis_name: str) -> jax.Array:
+    """[..., H/P, W] real -> [..., H, Wf_pad/P] complex (H-axis spectrum full)."""
+    p = lax.axis_size(axis_name)
+    # local rfft along W (rows independent)
+    xf = jnp.fft.rfft(x_local, axis=-1)  # [..., H/P, Wf]
+    xf, _ = _pad_to_multiple(xf, -1, p)
+    wf_pad = xf.shape[-1]
+    # distributed transpose: shard W-freq, gather H
+    xf = xf.reshape(*xf.shape[:-1], p, wf_pad // p)  # [..., H/P, P, Wf/P]
+    xf = jnp.moveaxis(xf, -2, 0)  # [P, ..., H/P, Wf/P]
+    xf = lax.all_to_all(xf, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    # now axis 0 holds the H-shards gathered: [P * 1, ...]? tiled semantics:
+    # [P, ..., H/P, Wf/P] -> concat along 0 after splitting -> [P, ..., H/P, Wf/P]
+    # where index p0 along axis 0 is the block from rank p0.
+    parts = [xf[i] for i in range(p)]
+    xf = jnp.concatenate(parts, axis=-2)  # [..., H, Wf/P]
+    # full fft along H
+    return jnp.fft.fft(xf, axis=-2)
+
+
+def dist_irfft2(Xf_local: jax.Array, axis_name: str, W: int) -> jax.Array:
+    """Inverse of dist_rfft2: [..., H, Wf_pad/P] -> [..., H/P, W] real."""
+    p = lax.axis_size(axis_name)
+    H = Xf_local.shape[-2]
+    xf = jnp.fft.ifft(Xf_local, axis=-2)  # [..., H, Wf/P]
+    # distributed transpose back: shard H, gather W-freq
+    xf = xf.reshape(*xf.shape[:-2], p, H // p, xf.shape[-1])  # [..., P, H/P, Wf/P]
+    xf = jnp.moveaxis(xf, -3, 0)  # [P, ..., H/P, Wf/P]
+    xf = lax.all_to_all(xf, axis_name, split_axis=0, concat_axis=0, tiled=True)
+    parts = [xf[i] for i in range(p)]
+    xf = jnp.concatenate(parts, axis=-1)  # [..., H/P, Wf_pad]
+    wf = W // 2 + 1
+    return jnp.fft.irfft(xf[..., :wf], n=W, axis=-1)
+
+
+def make_dist_rfft2(mesh: Mesh, ndim: int = 2, axis_name: str = "x"):
+    """Returns (rfft2, irfft2) operating on globally sharded [..., H, W]
+    arrays of rank `ndim` (H sharded on `axis_name`; spectra sharded on the
+    frequency axis)."""
+    from jax import shard_map
+
+    lead = [None] * (ndim - 2)
+    fwd = shard_map(
+        functools.partial(dist_rfft2, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=P(*lead, axis_name, None),
+        out_specs=P(*lead, None, axis_name),
+
+    )
+
+    def inv_fn(Xf, W):
+        return shard_map(
+            lambda a: dist_irfft2(a, axis_name, W),
+            mesh=mesh,
+            in_specs=P(*lead, None, axis_name),
+            out_specs=P(*lead, axis_name, None),
+    
+        )(Xf)
+
+    return fwd, inv_fn

@@ -1,0 +1,114 @@
+"""Distributed-layer tests on the 8-device virtual CPU mesh: halo exchange,
+distributed rfft2, distributed SHT — all checked against single-device ops."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dlwpbench_tpu.parallel.mesh import make_mesh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 4, reason="needs multi-device CPU mesh"
+)
+
+
+def _mesh_x(n=4):
+    return make_mesh(n, data=1, x=n)
+
+
+class TestHalo:
+    def test_halo_matches_cylinder_pad(self):
+        from jax import shard_map
+
+        from dlwpbench_tpu.ops.padding import cylinder_pad
+        from dlwpbench_tpu.parallel.halo import sharded_cylinder_pad
+
+        mesh = _mesh_x(4)
+        H, W, p = 16, 24, 1
+        x = jnp.asarray(
+            np.random.default_rng(0).standard_normal((H, W)), jnp.float32
+        )
+        want = np.asarray(cylinder_pad(x, p))
+
+        f = shard_map(
+            lambda a: sharded_cylinder_pad(a, p, "x"),
+            mesh=mesh,
+            in_specs=P("x", None),
+            out_specs=P("x", None),
+    
+        )
+        xs = jax.device_put(x, NamedSharding(mesh, P("x", None)))
+        got_blocks = np.asarray(jax.jit(f)(xs))
+        # Reassemble: each local block [H/4 + 2, W+2]; interior rows of the
+        # global padded array interleave halo+core per shard.  Verify each
+        # shard's padded block against the corresponding slice of `want`.
+        Hl = H // 4
+        got = got_blocks.reshape(4, Hl + 2 * p, W + 2 * p)
+        for i in range(4):
+            np.testing.assert_allclose(
+                got[i], want[i * Hl : i * Hl + Hl + 2 * p], atol=1e-6
+            )
+
+
+class TestDistFFT:
+    def test_rfft2_roundtrip_and_parity(self):
+        from dlwpbench_tpu.parallel.fft import make_dist_rfft2
+
+        mesh = _mesh_x(4)
+        H, W = 16, 24
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((H, W)), jnp.float32
+        )
+        fwd, inv = make_dist_rfft2(mesh, ndim=2)
+        xs = jax.device_put(x, NamedSharding(mesh, P("x", None)))
+        Xf = jax.jit(fwd)(xs)
+        # parity vs single-device rfft2 (H-axis fft order: fft along H after
+        # rfft along W == rfft2 with axes (-2, -1))
+        want = np.fft.fft(np.fft.rfft(np.asarray(x), axis=-1), axis=-2)
+        wf = W // 2 + 1
+        np.testing.assert_allclose(
+            np.asarray(Xf)[:, :wf], want, rtol=1e-4, atol=1e-4
+        )
+        back = jax.jit(lambda a: inv(a, W))(Xf)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+    def test_batched(self):
+        from dlwpbench_tpu.parallel.fft import make_dist_rfft2
+
+        mesh = _mesh_x(4)
+        B, H, W = 3, 8, 16
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((B, H, W)), jnp.float32
+        )
+        fwd, inv = make_dist_rfft2(mesh, ndim=3)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "x", None)))
+        back = jax.jit(lambda a: inv(fwd(a), W))(xs)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+
+
+class TestDistSHT:
+    @pytest.mark.parametrize("grid", ["legendre-gauss", "equiangular"])
+    def test_matches_single_device(self, grid):
+        from dlwpbench_tpu.ops.sht import isht, sht, sht_tables
+        from dlwpbench_tpu.parallel.sht_dist import make_dist_sht
+
+        mesh = _mesh_x(4)
+        nlat, nlon = 16, 32
+        t = sht_tables(nlat, nlon, grid=grid)
+        x = jnp.asarray(
+            np.random.default_rng(3).standard_normal((nlat, nlon)), jnp.float32
+        )
+        a_ref = np.asarray(sht(x, t))
+
+        fwd, inv = make_dist_sht(mesh, t, ndim=2)
+        xs = jax.device_put(x, NamedSharding(mesh, P("x", None)))
+        a = np.asarray(jax.jit(fwd)(xs))
+        np.testing.assert_allclose(a[:, : t.mmax], a_ref, rtol=1e-4, atol=1e-4)
+
+        f_ref = np.asarray(isht(jnp.asarray(a_ref), t))
+        f = np.asarray(jax.jit(inv)(jax.device_put(
+            jnp.asarray(a), NamedSharding(mesh, P(None, "x"))
+        )))
+        np.testing.assert_allclose(f, f_ref, atol=1e-4)
