@@ -1,0 +1,163 @@
+"""Preprocessing: detrending + climatology anomalies with a fit/transform API,
+plus spectral diagnostics (reference `data/datasets/preprocessing.py:310-683`,
+an s2spy-style pipeline).
+
+The reference operates on xarray objects; this environment has no xarray, so
+the same capabilities are expressed over numpy arrays with an explicit time
+coordinate (datetime64 array) — which also makes every transform trivially
+jit/vmap-able downstream.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class Preprocessor:
+    """Removes a (linear|polynomial) trend and/or the day-of-year climatology.
+
+    Usage (mirrors the reference's fit/transform API):
+        pp = Preprocessor(rolling_window_size=25, detrend="linear")
+        pp.fit(data, times)           # data: [T, ...]
+        anom = pp.transform(data, times)
+        data2 = pp.inverse_transform(anom, times)
+    """
+
+    def __init__(
+        self,
+        rolling_window_size: int | None = 25,
+        detrend: str | None = "linear",
+        subtract_climatology: bool = True,
+        poly_degree: int = 2,
+    ):
+        if detrend not in (None, "linear", "polynomial"):
+            raise ValueError(f"invalid detrend {detrend!r}")
+        self.window = rolling_window_size
+        self.detrend = detrend
+        self.subtract_climatology = subtract_climatology
+        self.poly_degree = poly_degree
+        self._trend_coef = None
+        self._clim = None
+
+    # -- helpers ---------------------------------------------------------
+    @staticmethod
+    def _doy(times) -> np.ndarray:
+        t = np.asarray(times, "datetime64[D]")
+        years = t.astype("datetime64[Y]")
+        return (t - years).astype(int)  # 0..365
+
+    def _trend(self, tnum, shape):
+        deg = 1 if self.detrend == "linear" else self.poly_degree
+        powers = np.stack([tnum**k for k in range(deg + 1)], -1)  # [T, deg+1]
+        coef = self._trend_coef  # [deg+1, ...]
+        return np.tensordot(powers, coef, axes=(1, 0)).reshape(-1, *shape)
+
+    # -- API -------------------------------------------------------------
+    def fit(self, data: np.ndarray, times) -> "Preprocessor":
+        data = np.asarray(data, np.float64)
+        T = data.shape[0]
+        tnum = np.arange(T, dtype=np.float64)
+
+        if self.detrend:
+            deg = 1 if self.detrend == "linear" else self.poly_degree
+            flat = data.reshape(T, -1)
+            coef = np.polynomial.polynomial.polyfit(tnum, flat, deg)  # [deg+1, P]
+            self._trend_coef = coef.reshape(deg + 1, *data.shape[1:])
+            data = data - self._trend(tnum, data.shape[1:]).reshape(data.shape)
+
+        if self.subtract_climatology:
+            doy = self._doy(times)
+            clim = np.zeros((366, *data.shape[1:]))
+            counts = np.zeros(366)
+            for d in range(366):
+                m = doy == d
+                if m.any():
+                    clim[d] = data[m].mean(axis=0)
+                    counts[d] = m.sum()
+            # fill missing days (e.g. no Feb 29) from neighbors
+            for d in np.nonzero(counts == 0)[0]:
+                clim[d] = clim[(d - 1) % 366]
+            if self.window and self.window > 1:
+                w = self.window
+                kernel = np.ones(w) / w
+                pad = np.concatenate([clim[-w:], clim, clim[:w]], axis=0)
+                sm = np.apply_along_axis(
+                    lambda v: np.convolve(v, kernel, mode="same"), 0, pad
+                )
+                clim = sm[w : w + 366]
+            self._clim = clim
+        return self
+
+    def transform(self, data: np.ndarray, times) -> np.ndarray:
+        data = np.asarray(data, np.float64)
+        T = data.shape[0]
+        if self.detrend:
+            if self._trend_coef is None:
+                raise RuntimeError("call fit() first")
+            tnum = np.arange(T, dtype=np.float64)
+            data = data - self._trend(tnum, data.shape[1:]).reshape(data.shape)
+        if self.subtract_climatology:
+            if self._clim is None:
+                raise RuntimeError("call fit() first")
+            data = data - self._clim[self._doy(times)]
+        return data.astype(np.float32)
+
+    def inverse_transform(self, data: np.ndarray, times) -> np.ndarray:
+        data = np.asarray(data, np.float64)
+        T = data.shape[0]
+        if self.subtract_climatology and self._clim is not None:
+            data = data + self._clim[self._doy(times)]
+        if self.detrend and self._trend_coef is not None:
+            tnum = np.arange(T, dtype=np.float64)
+            data = data + self._trend(tnum, data.shape[1:]).reshape(data.shape)
+        return data.astype(np.float32)
+
+
+def temporal_power_spectrum(data: np.ndarray, dt_hours: float = 6.0):
+    """Spectral diagnostics (reference `preprocessing.py:507-683`): mean power
+    spectrum over the time axis.  Returns (freq_per_day, power[..., F])."""
+    T = data.shape[0]
+    f = np.fft.rfftfreq(T, d=dt_hours / 24.0)
+    spec = np.abs(np.fft.rfft(data, axis=0)) ** 2 / T
+    # average over all non-time axes
+    power = spec.reshape(spec.shape[0], -1).mean(axis=1)
+    return f, power
+
+
+def regrid_linear(
+    data: np.ndarray, src_lats, src_lons, dst_lats, dst_lons
+) -> np.ndarray:
+    """Bilinear lat-lon regridding (reference `data/processing/regridding.py`
+    and `EC46_regridding.py`): periodic in longitude, clamped in latitude.
+
+    data: [..., H, W] on (src_lats, src_lons) -> [..., H', W']."""
+    src_lats = np.asarray(src_lats)
+    src_lons = np.asarray(src_lons)
+    H, W = data.shape[-2:]
+
+    fy = np.interp(dst_lats, src_lats, np.arange(H))
+    y0 = np.clip(np.floor(fy).astype(int), 0, H - 1)
+    y1 = np.clip(y0 + 1, 0, H - 1)
+    wy = np.clip(fy - y0, 0, 1)
+
+    dlon = 360.0 / W
+    fx = (np.asarray(dst_lons) - src_lons[0]) % 360.0 / dlon
+    x0 = np.floor(fx).astype(int) % W
+    x1 = (x0 + 1) % W
+    wx = fx - np.floor(fx)
+
+    d = data
+    out = (
+        d[..., y0[:, None], x0[None, :]] * ((1 - wy)[:, None] * (1 - wx)[None, :])
+        + d[..., y0[:, None], x1[None, :]] * ((1 - wy)[:, None] * wx[None, :])
+        + d[..., y1[:, None], x0[None, :]] * (wy[:, None] * (1 - wx)[None, :])
+        + d[..., y1[:, None], x1[None, :]] * (wy[:, None] * wx[None, :])
+    )
+    return out.astype(data.dtype)
+
+
+def coarsen_mean(data: np.ndarray, factor: int) -> np.ndarray:
+    """Block-mean downscaling (reference `datasets.py:303-305` coarsen)."""
+    *lead, H, W = data.shape
+    x = data.reshape(*lead, H // factor, factor, W // factor, factor)
+    return x.mean(axis=(-3, -1))

@@ -1,0 +1,141 @@
+"""Aux subsystem tests: module checkpoints, preprocessing, regrid, logging."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+class TestModuleCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from dlwpbench_tpu.models.unet import UNet
+        from dlwpbench_tpu.training.module_checkpoint import (
+            load_module_checkpoint,
+            save_module_checkpoint,
+        )
+
+        m = UNet(
+            constant_channels=1,
+            prescribed_channels=0,
+            prognostic_channels=2,
+            hidden_channels=(4,),
+            context_size=1,
+        )
+        prog = jnp.ones((1, 3, 2, 8, 16))
+        params = m.init(jax.random.PRNGKey(0), None, None, prog)
+        path = str(tmp_path / "unet.mdlus.zip")
+        save_module_checkpoint(path, m, params)
+
+        m2, p2 = load_module_checkpoint(path)
+        assert type(m2).__name__ == "UNet"
+        assert m2.hidden_channels == (4,)
+        out1 = np.asarray(m.apply(params, None, None, prog))
+        out2 = np.asarray(m2.apply(p2, None, None, prog))
+        np.testing.assert_allclose(out1, out2, atol=1e-7)
+
+    def test_bad_format_rejected(self, tmp_path):
+        import json
+        import zipfile
+
+        from dlwpbench_tpu.training.module_checkpoint import load_module_checkpoint
+
+        path = str(tmp_path / "bad.zip")
+        with zipfile.ZipFile(path, "w") as z:
+            z.writestr("metadata.json", json.dumps({"format": "other"}))
+            z.writestr("params.msgpack", b"")
+        with pytest.raises(ValueError, match="unsupported"):
+            load_module_checkpoint(path)
+
+
+class TestPreprocessor:
+    def test_linear_detrend_roundtrip(self):
+        from dlwpbench_tpu.data.preprocessing import Preprocessor
+
+        T = 400
+        times = np.arange("2000-01-01", "2001-02-04", dtype="datetime64[D]")[:T]
+        rng = np.random.default_rng(0)
+        trend = 0.01 * np.arange(T)[:, None, None]
+        data = trend + rng.standard_normal((T, 4, 8)) * 0.1
+
+        pp = Preprocessor(detrend="linear", subtract_climatology=False).fit(
+            data, times
+        )
+        anom = pp.transform(data, times)
+        # trend removed: temporal slope ~ 0
+        slope = np.polyfit(np.arange(T), anom.reshape(T, -1).mean(1), 1)[0]
+        assert abs(slope) < 1e-4
+        back = pp.inverse_transform(anom, times)
+        np.testing.assert_allclose(back, data, atol=1e-4)
+
+    def test_climatology_removed(self):
+        from dlwpbench_tpu.data.preprocessing import Preprocessor
+
+        times = np.arange("2000-01-01", "2004-01-01", dtype="datetime64[D]")
+        T = len(times)
+        doy = (times - times.astype("datetime64[Y]")).astype(int)
+        seasonal = np.sin(2 * np.pi * doy / 365.25)[:, None]
+        data = seasonal + 0.01 * np.random.default_rng(1).standard_normal((T, 3))
+        pp = Preprocessor(detrend=None, rolling_window_size=None).fit(data, times)
+        anom = pp.transform(data, times)
+        assert np.abs(anom).std() < 0.2 * np.abs(data).std()
+
+    def test_spectrum(self):
+        from dlwpbench_tpu.data.preprocessing import temporal_power_spectrum
+
+        t = np.arange(256)
+        sig = np.sin(2 * np.pi * t / 16)[:, None]  # period 16 steps = 4 days
+        f, p = temporal_power_spectrum(sig, dt_hours=6.0)
+        assert f[np.argmax(p[1:]) + 1] == pytest.approx(0.25, rel=1e-6)
+
+
+class TestRegrid:
+    def test_identity(self):
+        from dlwpbench_tpu.data.preprocessing import regrid_linear
+
+        lats = np.linspace(-87, 87, 16)
+        lons = np.linspace(0, 360, 32, endpoint=False)
+        x = np.random.default_rng(0).standard_normal((3, 16, 32)).astype(np.float32)
+        y = regrid_linear(x, lats, lons, lats, lons)
+        np.testing.assert_allclose(y, x, atol=1e-6)
+
+    def test_downscale_smooth(self):
+        from dlwpbench_tpu.data.preprocessing import coarsen_mean, regrid_linear
+
+        lats1 = np.linspace(-89, 89, 64)
+        lons1 = np.linspace(0, 360, 128, endpoint=False)
+        lats2 = np.linspace(-87, 87, 32)
+        lons2 = np.linspace(0, 360, 64, endpoint=False)
+        L, P = np.meshgrid(np.deg2rad(lats1), np.deg2rad(lons1), indexing="ij")
+        f = np.sin(2 * L) * np.cos(3 * P)
+        g = regrid_linear(f, lats1, lons1, lats2, lons2)
+        L2, P2 = np.meshgrid(np.deg2rad(lats2), np.deg2rad(lons2), indexing="ij")
+        want = np.sin(2 * L2) * np.cos(3 * P2)
+        assert np.abs(g - want).max() < 0.02
+        c = coarsen_mean(f, 2)
+        assert c.shape == (32, 64)
+
+
+class TestLoggerAndProfiling:
+    def test_jsonl_logger(self, tmp_path):
+        import json
+
+        from dlwpbench_tpu.utils.logging import RunLogger
+
+        lg = RunLogger(str(tmp_path))
+        lg.log({"loss": 0.5}, step=1)
+        lg.log({"loss": 0.25, "note": "ok"}, step=2)
+        lg.close()
+        lines = [json.loads(l) for l in open(lg.path)]
+        assert lines[0]["loss"] == 0.5 and lines[1]["_step"] == 2
+
+    def test_step_timer(self):
+        from dlwpbench_tpu.utils.profiling import StepTimer
+
+        t = StepTimer(skip=1)
+        for _ in range(4):
+            with t:
+                pass
+        s = t.summary()
+        assert s["steps"] == 3 and s["mean_s"] >= 0
