@@ -120,7 +120,13 @@ class WindowedWeatherDataset:
         self, batch_size: int, shuffle: bool = False, drop_last: bool = False
     ) -> Iterator[tuple]:
         """Yield batched (constants, prescribed, prognostic, target) arrays
-        with a leading batch dim, stacking per-item windows."""
+        with a leading batch dim.
+
+        Fast path: the native C++ window batcher (`data/native.py`) gathers
+        all windows of a batch with multithreaded memcpy + fused noise; falls
+        back to per-item numpy stacking when unavailable or when windows
+        extend past the data end (zero-fill case).
+        """
         order = np.arange(len(self))
         if shuffle:
             self._rng.shuffle(order)
@@ -128,12 +134,55 @@ class WindowedWeatherDataset:
         step = batch_size
         stop = n - (n % step) if drop_last else n
         for i in range(0, stop, step):
-            items = [self[j] for j in order[i : i + step]]
+            idxs = order[i : i + step]
+            fast = self._batch_native(idxs)
+            if fast is not None:
+                yield fast
+                continue
+            items = [self[j] for j in idxs]
             const = None if items[0][0] is None else np.stack([it[0] for it in items])
             pres = None if items[0][1] is None else np.stack([it[1] for it in items])
             prog = np.stack([it[2] for it in items])
             tar = np.stack([it[3] for it in items])
             yield const, pres, prog, tar
+
+    def _batch_native(self, idxs: np.ndarray):
+        from dlwpbench_tpu.data import native
+
+        if not native.available():
+            return None
+        seq = self.sequence_length
+        if self.init_indices is None:
+            starts = idxs.astype(np.int64) * seq
+        else:
+            starts = np.asarray(
+                [int(self.init_indices[j]) for j in idxs], np.int64
+            )
+        if (starts + seq + 1 > self.prognostic.shape[0]).any():
+            return None  # zero-fill path -> slow fallback
+        B = len(starts)
+        prog_full = native.assemble_windows(self.prognostic, starts, seq + 1)
+        target = prog_full[:, 1:]
+        prog = np.ascontiguousarray(prog_full[:, :-1])
+        if self.noise:
+            native.add_gaussian_noise(
+                prog, float(self.noise), int(self._rng.integers(2**62))
+            )
+        pres = (
+            native.assemble_windows(self.prescribed, starts, seq)
+            if self.prescribed is not None
+            else None
+        )
+        const = (
+            None
+            if self.constants is None
+            else np.broadcast_to(
+                self.constants[None], (B, *self.constants.shape)
+            ).copy()
+        )
+        return const, pres, prog, np.ascontiguousarray(
+            target[:, self.context_size :]
+        )
 
 
 def normalize_variables(

@@ -167,3 +167,52 @@ class TestMetrics:
         pred = jnp.zeros((2, 8, 4))
         tar = jnp.ones((2, 8, 4))
         assert float(mse_loss(pred, tar, w)) == pytest.approx(1.0, rel=1e-6)
+
+
+class TestNativeBatcher:
+    def test_native_matches_python(self):
+        from dlwpbench_tpu.data import native
+        from dlwpbench_tpu.data.dataset import WindowedWeatherDataset
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no C++ toolchain")
+        rng = np.random.default_rng(0)
+        prog = rng.standard_normal((40, 2, 4, 8)).astype(np.float32)
+        pres = rng.standard_normal((40, 1, 4, 8)).astype(np.float32)
+        const = rng.standard_normal((3, 4, 8)).astype(np.float32)
+        ds = WindowedWeatherDataset(
+            prognostic=prog, constants=const, prescribed=pres,
+            sequence_length=5, context_size=2,
+        )
+        fast = next(iter(ds.batches(4)))
+        # force slow path
+        slow_items = [ds[j] for j in range(4)]
+        slow = (
+            np.stack([it[0] for it in slow_items]),
+            np.stack([it[1] for it in slow_items]),
+            np.stack([it[2] for it in slow_items]),
+            np.stack([it[3] for it in slow_items]),
+        )
+        for f, s in zip(fast, slow):
+            np.testing.assert_allclose(f, s, atol=1e-7)
+
+    def test_raw_assemble(self):
+        from dlwpbench_tpu.data import native
+
+        data = np.arange(60, dtype=np.float32).reshape(10, 6)
+        out = native.assemble_windows(data, np.asarray([0, 3, 5]), 4)
+        np.testing.assert_array_equal(out[1], data[3:7])
+
+    def test_noise_statistics(self):
+        from dlwpbench_tpu.data import native
+
+        if not native.available():
+            import pytest
+
+            pytest.skip("no C++ toolchain")
+        x = np.zeros(200_000, np.float32)
+        native.add_gaussian_noise(x, 0.5, seed=42)
+        assert abs(x.mean()) < 0.01
+        assert abs(x.std() - 0.5) < 0.01
