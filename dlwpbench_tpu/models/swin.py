@@ -83,12 +83,22 @@ def shift_attn_mask(Hp: int, Wp: int, wh: int, ww: int, sh: int, sw: int) -> np.
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
+def _flash_block(n: int, cap: int = 256) -> int:
+    """Largest divisor of n that is <= cap and a multiple of 8 (0 if none)."""
+    best = 0
+    for b in range(8, min(n, cap) + 1, 8):
+        if n % b == 0:
+            best = b
+    return best
+
+
 class WindowAttention(nn.Module):
     dim: int
     window: tuple[int, int]
     num_heads: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
@@ -110,15 +120,24 @@ class WindowAttention(nn.Module):
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=trunc_normal_init())(x)
         qkv = qkv.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [B_, nh, N, hd]
+        q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, nh, N, hd]
 
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k) + rel_bias[None]
-        if mask is not None:
-            nW = mask.shape[0]
-            attn = attn.reshape(B_ // nW, nW, nh, N, N) + mask[None, :, None]
-            attn = attn.reshape(B_, nh, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
+        nW = 1 if mask is None else mask.shape[0]
+        blk = _flash_block(N)
+        if self.use_flash and nW == 1 and blk and hd % 8 == 0:
+            # Pallas fused path: fold the (single-window) shift mask into the
+            # per-head bias; qk scale handled inside the kernel.
+            from dlwpbench_tpu.ops.pallas_attention import flash_window_attention
+
+            bias = rel_bias if mask is None else rel_bias + mask[0][None]
+            out = flash_window_attention(q, k, v, bias, block_q=blk, block_k=blk)
+        else:
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k) + rel_bias[None]
+            if mask is not None:
+                attn = attn.reshape(B_ // nW, nW, nh, N, N) + mask[None, :, None]
+                attn = attn.reshape(B_, nh, N, N)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         return nn.Dense(C, kernel_init=trunc_normal_init())(out)
 
@@ -131,6 +150,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     mesh: str = "equirectangular"
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, H: int, W: int):
@@ -161,7 +181,8 @@ class SwinBlock(nn.Module):
 
         win = window_partition(x, wh, ww)
         win = WindowAttention(
-            self.dim, (wh, ww), self.num_heads, self.qkv_bias
+            self.dim, (wh, ww), self.num_heads, self.qkv_bias,
+            use_flash=self.use_flash,
         )(win, mask)
         x = window_reverse(win, wh, ww, Hp, Wp)
 
@@ -209,6 +230,7 @@ class SwinTransformer(RolloutModel):
     patch_norm: bool = True
     context_size: int = 1
     mesh: str = "equirectangular"
+    use_flash_attention: bool = False
 
     def _grid_hw(self) -> tuple[int, int]:
         if self.mesh == "healpix":
@@ -263,6 +285,7 @@ class SwinTransformer(RolloutModel):
                     self.mlp_ratio,
                     self.qkv_bias,
                     mesh=self.mesh,
+                    use_flash=self.use_flash_attention,
                 )(x, H, W)
             x_out = nn.LayerNorm()(x)
             feats.append(x_out.reshape(B, H, W, dim))

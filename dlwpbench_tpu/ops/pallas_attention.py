@@ -1,0 +1,110 @@
+"""Fused (flash-style) window attention Pallas kernel for TPU.
+
+The reference's attention models (Swin `swin_transformer.py:74-154`, Pangu
+EarthAttention3D) materialize [heads, N, N] score tensors through cuBLAS;
+with the reference's *global-size* windows (window = full resolution, N up
+to H*W = 2048+) that is the dominant HBM traffic.  This kernel computes
+
+    O = softmax(Q K^T * scale + bias) V
+
+with the online-softmax (FlashAttention) recurrence: Q blocks stay resident
+in VMEM while K/V/bias stream through, so the [N, N] score matrix never
+touches HBM.  `bias` carries the relative-position bias (+ any additive
+shift mask folded in by the caller) per head, broadcast over batch.
+
+Falls back to a reference jnp implementation off-TPU (also used as the
+oracle in tests; `interpret=True` exercises the kernel on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def reference_attention(q, k, v, bias, scale):
+    """Oracle: q,k,v [B, H, N, D]; bias [H, N, N] -> [B, H, N, D]."""
+    s = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k) + bias[None]
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, block_k, n_kv):
+    # block shapes: q [1,1,block_q,D]; k/v [1,1,N,D]; bias [1,block_q,N]
+    q = q_ref[0, 0] * scale
+    D = q.shape[-1]
+    bq = q.shape[0]
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        b_blk = bias_ref[0, :, pl.ds(i * block_k, block_k)]
+        s = (
+            jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b_blk
+        )
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((bq, D), jnp.float32)
+    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc, _, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
+    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("block_q", "block_k", "interpret")
+)
+def flash_window_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> jax.Array:
+    """q, k, v: [B, H, N, D]; bias: [H, N, N] (broadcast over B)."""
+    B, H, N, D = q.shape
+    scale = D**-0.5
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
+
+    grid = (B, H, N // block_q)
+    kernel = functools.partial(
+        _attn_kernel, scale=scale, block_k=block_k, n_kv=N // block_k
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, N, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, N, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, block_q, N), lambda b, h, i: (h, i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+        interpret=interpret,
+    )(q, k, v, bias)
+    return out
