@@ -41,6 +41,11 @@ def evaluate_run(run_dir: str, sequence_length: int, batch_size: int, video: boo
         cfg.data, cfg.training, cfg.validation, cfg.get("testing"), ctx
     )
     test_ds.sequence_length = sequence_length
+    if len(test_ds) == 0:
+        raise ValueError(
+            f"test split has no windows of length {sequence_length}; "
+            "reduce --sequence-length or enlarge the test period"
+        )
 
     trainer = Trainer(model, epochs=1)
     state = trainer.init(next(iter(test_ds.batches(1))))
