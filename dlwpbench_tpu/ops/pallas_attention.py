@@ -84,6 +84,8 @@ def flash_window_attention(
     interpret: bool = False,
 ) -> jax.Array:
     """q, k, v: [B, H, N, D]; bias: [H, N, N] (broadcast over B)."""
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        interpret = True  # CPU/GPU: run the kernel through the interpreter
     B, H, N, D = q.shape
     scale = D**-0.5
     block_q = min(block_q, N)
