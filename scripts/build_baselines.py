@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Build persistence + monthly-climatology baseline forecasts
+(reference `scripts/build_baselines.py`, `scripts/climatology.py`).
+
+Runs against a trained run's test split so the baselines share the exact
+forecast protocol, writes them under `outputs/<baseline>/evaluation/` in the
+same format as model evaluations (so `scripts/evaluate.py`'s comparison plot
+and the ACC metric can consume them).
+
+    python scripts/build_baselines.py -c outputs/<run> [--sequence-length 17]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-c", "--configuration-dir", required=True)
+    ap.add_argument("--sequence-length", type=int, default=17)
+    args = ap.parse_args(argv)
+
+    import dlwpbench_tpu
+
+    dlwpbench_tpu.enable_compile_cache()
+    from dlwpbench_tpu.data.sources import build_datasets
+    from dlwpbench_tpu.evaluation import evaluate as E
+    from dlwpbench_tpu.evaluation.baselines import persistence_forecast
+    from dlwpbench_tpu.training.config import load_saved_config
+
+    cfg = load_saved_config(args.configuration_dir)
+    ctx = int(cfg.model.context_size)
+    cfg.testing["sequence_length"] = args.sequence_length
+    train_ds, _, test_ds, stats = build_datasets(
+        cfg.data, cfg.training, cfg.validation, cfg.get("testing"), ctx
+    )
+    test_ds.sequence_length = args.sequence_length
+    if len(test_ds) == 0:
+        raise ValueError("test split has no windows; reduce --sequence-length")
+
+    inits, targets = [], []
+    for _, _, prog, tar in test_ds.batches(8):
+        inits.append(prog[:, ctx - 1])
+        targets.append(tar)
+    inits = np.concatenate(inits)
+    targets = np.concatenate(targets)
+    n_steps = targets.shape[1]
+
+    # persistence
+    pers = persistence_forecast(inits, n_steps)
+    # "climatology": mean state of the train split per channel (the monthly
+    # stratification needs real timestamps; synthetic splits use the overall
+    # mean, which is the climatology of a stationary series)
+    clim_state = np.zeros_like(inits[0])
+    count = 0
+    for _, _, prog, _ in train_ds.batches(8):
+        clim_state = clim_state + prog.mean(axis=(0, 1)) * prog.shape[0]
+        count += prog.shape[0]
+    clim_state /= max(count, 1)
+    clim = np.broadcast_to(
+        clim_state[None, None], (inits.shape[0], n_steps, *clim_state.shape)
+    ).copy()
+
+    spatial = targets.shape[-2:]
+    dlat = 180 / spatial[0]
+    lats = np.linspace(-90 + dlat / 2, 90 - dlat / 2, spatial[0])
+    var_names = [f"var{i}" for i in range(targets.shape[2])]
+
+    results = {}
+    for name, fc in [("persistence", pers), ("climatology", clim)]:
+        if fc.ndim == 6:  # HEALPix: flatten faces into lat via remap-free skip
+            continue
+        out_dir = os.path.join("outputs", name, "evaluation")
+        results[name] = E.compute_metrics(fc, targets, lats, var_names, out_dir)
+        print(
+            f"{name}: RMSE(first var) per lead time =",
+            np.round(results[name]["rmse"][var_names[0]], 4).tolist(),
+        )
+    # climatology forecast file for ACC computations (evaluate.py:806-821)
+    np.savez(
+        os.path.join("outputs", "climatology", "evaluation", "outputs.npz"),
+        outputs=clim,
+    )
+    print("-> outputs/{persistence,climatology}/evaluation/")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,13 @@ def main(argv):
     )
 
     lat_w = None
-    if cfg.data.get("healpix_nside") in (None, "null") and "height" in cfg.data:
+    # lat-weighted validation only applies to the (lat-lon) weather grids,
+    # not to the periodic Navier-Stokes domain or HEALPix face layouts
+    if (
+        cfg.data.get("type") != "NavierStokes"
+        and cfg.data.get("healpix_nside") in (None, "null")
+        and "height" in cfg.data
+    ):
         lats = np.linspace(
             -90 + 180 / cfg.data.height / 2, 90 - 180 / cfg.data.height / 2,
             cfg.data.height,

@@ -1,0 +1,234 @@
+"""Golden parity tests against the mounted PyTorch reference (read-only).
+
+These import the reference's own modules from /root/reference and compare
+outputs numerically with our TPU-native ops — the strongest parity evidence
+short of trained checkpoints (none ship with the reference).  Skipped
+cleanly when the reference checkout or its torch deps are unavailable.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/src/dlwpbench"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference checkout not mounted"
+)
+
+if os.path.isdir(REF) and REF not in sys.path:
+    sys.path.insert(0, REF)
+
+
+def _import_or_skip(path, name):
+    """Load a reference module; dotted modules under `models.` are loaded by
+    file path to bypass the broken package __init__ (numpy-2-incompatible
+    fourcastnet import, SURVEY 2.9)."""
+    try:
+        # stub deps the reference imports at module level but we don't need
+        import types
+
+        if "numpy.lib.arraypad" not in sys.modules:
+            shim = types.ModuleType("numpy.lib.arraypad")
+            shim.pad = np.pad  # removed in numpy>=2; the reference uses np.pad
+            sys.modules["numpy.lib.arraypad"] = shim
+
+        for stub in (
+            "hydra", "hydra.utils", "omegaconf", "wandb", "diffusers",
+            "neuralop", "neuralop.models", "torch_harmonics",
+            "torch_harmonics.examples", "torch_harmonics.examples.sfno",
+            "timm", "timm.models", "timm.models.layers",
+        ):
+            if stub not in sys.modules:
+                try:
+                    __import__(stub)
+                except ImportError:
+                    m = types.ModuleType(stub)
+                    m.__path__ = []  # mark as package for submodule stubs
+                    m.instantiate = lambda *a, **k: None  # hydra.utils API
+                    m.FNO = m.TFNO = object  # neuralop.models API
+                    m.SphericalFourierNeuralOperatorNet = object
+                    m.trunc_normal_ = lambda *a, **k: None  # timm API
+                    m.DropPath = object
+                    m.to_2tuple = lambda v: (v, v) if not isinstance(v, tuple) else v
+                    sys.modules[stub] = m
+                    if "." in stub:
+                        parent, child = stub.rsplit(".", 1)
+                        setattr(sys.modules[parent], child, m)
+        # fork defect (SURVEY 2.9): utils/__init__ doesn't export
+        # ConditionalHEALPixLayer though downstream modules import it
+        import utils as ref_utils
+        from utils import healpix as ref_healpix
+
+        if not hasattr(ref_utils, "ConditionalHEALPixLayer") and hasattr(
+            ref_healpix, "ConditionalHEALPixLayer"
+        ):
+            ref_utils.ConditionalHEALPixLayer = ref_healpix.ConditionalHEALPixLayer
+
+        if path.startswith("models."):
+            import importlib.util
+
+            fp = os.path.join(REF, *path.split(".")) + ".py"
+            spec = importlib.util.spec_from_file_location(
+                "refmod_" + path.replace(".", "_"), fp
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        else:
+            mod = __import__(path, fromlist=[name])
+        return getattr(mod, name)
+    except Exception as e:  # broken reference deps (SURVEY 2.9)
+        pytest.skip(f"reference import failed: {e}")
+
+
+class TestHEALPixPaddingParity:
+    @pytest.mark.parametrize("nside,p", [(8, 1), (8, 2), (16, 3)])
+    def test_bit_exact(self, nside, p):
+        import torch
+
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.ops.padding import healpix_pad
+
+        HEALPixPadding = _import_or_skip("utils.healpix", "HEALPixPadding")
+        x = np.random.default_rng(0).standard_normal(
+            (2, 3, 12, nside, nside)
+        ).astype(np.float32)
+
+        ref_layer = HEALPixPadding(padding=p)
+        # reference expects faces folded into batch: [B*F, C, H, W]
+        xt = torch.tensor(x).reshape(2 * 12 * 0 + 2, 3, 12, nside, nside)
+        xt = torch.tensor(x).permute(0, 2, 1, 3, 4).reshape(24, 3, nside, nside)
+        want = ref_layer(xt)  # [B*F, C, H+2p, W+2p]
+        want = (
+            want.reshape(2, 12, 3, nside + 2 * p, nside + 2 * p)
+            .permute(0, 2, 1, 3, 4)
+            .numpy()
+        )
+
+        got = np.asarray(healpix_pad(jnp.asarray(x), p))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+class TestCylinderPadParity:
+    def test_exact(self):
+        import torch
+
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.ops.padding import cylinder_pad
+
+        CylinderPad = _import_or_skip("utils.utils", "CylinderPad")
+        x = np.random.default_rng(1).standard_normal((2, 4, 8, 16)).astype(np.float32)
+        want = CylinderPad(padding=2)(torch.tensor(x)).numpy()
+        got = np.asarray(cylinder_pad(jnp.asarray(x), 2))
+        np.testing.assert_array_equal(got, want)
+
+
+class TestSpectralConvParity:
+    def test_same_weights_same_output(self):
+        """Reference SpectralConv2d vs ours with identical weights."""
+        import torch
+
+        import jax.numpy as jnp
+
+        SpectralConv2d = _import_or_skip("models.unet.unet", "SpectralConv2d")
+
+        from dlwpbench_tpu.ops.spectral import SpectralConv2d as OursSC
+
+        Cin, Cout, m1, m2, H, W = 3, 5, 4, 4, 16, 16
+        ref = SpectralConv2d(Cin, Cout, m1, m2)
+        x = np.random.default_rng(2).standard_normal((2, Cin, H, W)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.tensor(x)).numpy()
+
+        w1 = ref.weights1.detach().numpy()  # [Cin, Cout, m1, m2, 2]
+        w2 = ref.weights2.detach().numpy()
+        ours = OursSC(out_channels=Cout, modes1=m1, modes2=m2)
+        xj = jnp.moveaxis(jnp.asarray(x), 1, -1)
+        params = {"params": {"weights1": jnp.asarray(w1), "weights2": jnp.asarray(w2)}}
+        got = np.moveaxis(np.asarray(ours.apply(params, xj)), -1, 1)
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+class TestConvLSTMCellParity:
+    def test_gate_math(self):
+        """Reference ConvLSTMCell vs ours with copied conv weights."""
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        RefCell = _import_or_skip("models.convlstm.convlstm", "ConvLSTMCell")
+
+        from dlwpbench_tpu.models.convlstm import ConvLSTMCell
+
+        Cin = Ch = 4
+        H, W = 8, 16
+        ref = RefCell(
+            batch_size=2, input_size=Cin, hidden_size=Ch, height=H, width=W,
+            device="cpu",
+        )
+        x = np.random.default_rng(3).standard_normal((2, Cin, H, W)).astype(np.float32)
+        h0 = np.random.default_rng(4).standard_normal((2, Ch, H, W)).astype(np.float32)
+        c0 = np.random.default_rng(5).standard_normal((2, Ch, H, W)).astype(np.float32)
+        with torch.no_grad():
+            h1, c1 = ref(torch.tensor(x), torch.tensor(h0), torch.tensor(c0))
+
+        # copy conv weights: torch [4Ch, Cin+Ch, 3, 3] -> flax HWIO
+        conv = ref.conv[1]
+        kern = conv.weight.detach().numpy().transpose(2, 3, 1, 0)
+        bias = conv.bias.detach().numpy()
+        ours = ConvLSTMCell(hidden_size=Ch)
+        xj = jnp.moveaxis(jnp.asarray(x), 1, -1)
+        hj = jnp.moveaxis(jnp.asarray(h0), 1, -1)
+        cj = jnp.moveaxis(jnp.asarray(c0), 1, -1)
+        params = ours.init(jax.random.PRNGKey(0), xj, hj, cj)
+        inner = params["params"]["GeoConv_0"]["Conv_0"]
+        assert inner["kernel"].shape == kern.shape
+        params = {
+            "params": {
+                "GeoConv_0": {
+                    "Conv_0": {"kernel": jnp.asarray(kern), "bias": jnp.asarray(bias)}
+                }
+            }
+        }
+        h1g, c1g = ours.apply(params, xj, hj, cj)
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(h1g), -1, 1), h1.numpy(), rtol=1e-4, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.moveaxis(np.asarray(c1g), -1, 1), c1.numpy(), rtol=1e-4, atol=1e-4
+        )
+
+
+class TestAFNOFilterParity:
+    def test_same_weights_same_output(self):
+        """Reference AFNO2D frequency-MLP filter vs ours, identical weights."""
+        import torch
+
+        import jax.numpy as jnp
+
+        AFNO2D = _import_or_skip("models.fourcastnet.fourcastnet", "AFNO2D")
+
+        from dlwpbench_tpu.ops.spectral import AFNO2DFilter
+
+        C, nb, H, W = 16, 4, 8, 16
+        ref = AFNO2D(hidden_size=C, num_blocks=nb)
+        x = np.random.default_rng(6).standard_normal((2, H, W, C)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(torch.tensor(x)).numpy()
+
+        params = {
+            "params": {
+                "w1": jnp.asarray(ref.w1.detach().numpy()),
+                "b1": jnp.asarray(ref.b1.detach().numpy()),
+                "w2": jnp.asarray(ref.w2.detach().numpy()),
+                "b2": jnp.asarray(ref.b2.detach().numpy()),
+            }
+        }
+        ours = AFNO2DFilter(hidden_size=C, num_blocks=nb)
+        got = np.asarray(ours.apply(params, jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
