@@ -35,6 +35,7 @@ for _name, _cls in {
     "SwinTransformerHPX": SwinTransformerHPX,
     "PanguWeather": PanguWeather,
     "GraphCastNet": GraphCastNet,
+    "FourCastNetv2": FourCastNet,  # filter="SFNO" via config
     "MeshGraphNet": MeshGraphNet,
     "ModernUNet": ModernUNet,
     "MUNetHPX": MUNetHPX,

@@ -63,6 +63,14 @@ class AFNOBlock(nn.Module):
                 sparsity_threshold=self.sparsity_threshold,
                 hard_thresholding_fraction=self.hard_thresholding_fraction,
             )(y)
+        elif self.filter_type == "SFNO":
+            # FourCastNetv2 (reference `fourcastnet.py:364-527`): the mixer is
+            # a spherical convolution on the token grid via the from-scratch
+            # SHT (replacing torch-harmonics SFNO).
+            from dlwpbench_tpu.models.sfno import SphericalConv
+
+            h, w = y.shape[1], y.shape[2]
+            y = y + SphericalConv(self.dim, nlat=h, nlon=w)(y)
         elif self.filter_type == "FNO2D":
             # the reference's FNO-mixer variant (`fourcastnet.py:130-153`)
             from dlwpbench_tpu.models.fno import FNOCore
@@ -86,7 +94,8 @@ class AFNOBlock(nn.Module):
 
 
 class FourCastNet(RolloutModel):
-    """AFNONet (config `type: FourCastNet`)."""
+    """AFNONet (config `type: FourCastNet`); `filter="SFNO"` gives the
+    FourCastNetv2 variant (SFNO mixer, reference `fourcastnet.py:364-527`)."""
 
     name: str = "fourcastnet"
     img_height: int = 32

@@ -1,0 +1,176 @@
+"""Distributed graph partitioning for model-parallel message passing.
+
+Reference: `models/graphcast/gnn_layers/distributed_graph.py` — nodewise
+partition (equal chunks of dst node IDs; each rank owns the incoming edges of
+its dst nodes) with an all-to-all exchange plan for remote source-node
+features, executed with NCCL variable-size collectives
+(`indexed_all_to_all_v`, `distributed/utils.py:233-656`).
+
+TPU design (static shapes over ICI): the exchange plan is precomputed in
+numpy as PADDED per-rank buckets —
+
+  send_idx [P, P, Smax]: for (owner i -> consumer j), the local node indices
+    i must send to j, padded with 0 and masked by send_mask;
+  recv feature layout: each rank holds [P, Smax, F] remote-feature buckets
+    after one `lax.all_to_all`, addressed by remapped edge source indices.
+
+`partition_graph_nodewise` builds the plan; `PartitionedGraph.gather_src`
+runs inside `shard_map`: bucket-gather local features -> all_to_all ->
+concat [local || remote buckets] -> edge-level gather.  JAX differentiates
+the whole thing (the adjoint all-to-all runs in the opposite direction, the
+behavior the reference hand-codes in `autograd.py:189-254`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+
+class GraphPartition(NamedTuple):
+    """Static (numpy) partition plan for one bipartite or homogeneous graph."""
+
+    n_parts: int
+    n_src: int
+    n_dst: int
+    # per-rank padded arrays (stacked along axis 0 = owning rank):
+    edge_src_local: np.ndarray  # [P, Emax] index into [local || recv buckets]
+    edge_dst_local: np.ndarray  # [P, Emax] index into local dst nodes
+    edge_mask: np.ndarray  # [P, Emax] bool
+    send_idx: np.ndarray  # [P, P, Smax] local src indices rank i sends to j
+    send_mask: np.ndarray  # [P, P, Smax] bool
+    src_chunk: int  # src nodes per rank (padded)
+    dst_chunk: int  # dst nodes per rank (padded)
+    n_edges_max: int
+    s_max: int
+
+
+def partition_graph_nodewise(
+    src: np.ndarray, dst: np.ndarray, n_src: int, n_dst: int, n_parts: int
+) -> GraphPartition:
+    """Equal-chunk dst ownership; each rank owns incoming edges of its dsts
+    (reference `distributed_graph.py:78-227`), with padded static buckets."""
+    src = np.asarray(src, np.int64)
+    dst = np.asarray(dst, np.int64)
+    P = n_parts
+    src_chunk = -(-n_src // P)
+    dst_chunk = -(-n_dst // P)
+
+    # owner of each src NODE id (indexable by node id)
+    owner_of_src = np.minimum(np.arange(n_src) // src_chunk, P - 1)
+
+    edge_lists, send_lists = [], [[[] for _ in range(P)] for _ in range(P)]
+    per_rank = []
+    for r in range(P):
+        e_ids = np.nonzero((dst // dst_chunk) == r)[0]
+        per_rank.append(e_ids)
+
+    # Build send plans: rank i sends src node n to rank j if some edge owned
+    # by j has src n owned by i.
+    for j in range(P):
+        e = per_rank[j]
+        s = src[e]
+        owners = owner_of_src[s]
+        for i in range(P):
+            if i == j:
+                continue
+            needed = np.unique(s[owners == i])
+            send_lists[i][j] = (needed - i * src_chunk).tolist()
+
+    s_max = max(
+        (len(send_lists[i][j]) for i in range(P) for j in range(P)), default=0
+    )
+    s_max = max(s_max, 1)
+    send_idx = np.zeros((P, P, s_max), np.int32)
+    send_mask = np.zeros((P, P, s_max), bool)
+    for i in range(P):
+        for j in range(P):
+            lst = send_lists[i][j]
+            send_idx[i, j, : len(lst)] = lst
+            send_mask[i, j, : len(lst)] = True
+
+    # Remap each rank's edge src indices into its local address space:
+    # [0, src_chunk) = own chunk; then P buckets of s_max received features
+    # laid out at src_chunk + sender_rank * s_max + position_in_bucket.
+    e_max = max((len(e) for e in per_rank), default=1)
+    e_max = max(e_max, 1)
+    edge_src_local = np.zeros((P, e_max), np.int32)
+    edge_dst_local = np.zeros((P, e_max), np.int32)
+    edge_mask = np.zeros((P, e_max), bool)
+    for j in range(P):
+        e = per_rank[j]
+        s, d = src[e], dst[e]
+        owners = owner_of_src[s]
+        local_addr = np.empty(len(e), np.int64)
+        own = owners == j
+        local_addr[own] = s[own] - j * src_chunk
+        for i in range(P):
+            if i == j:
+                continue
+            m = owners == i
+            if not m.any():
+                continue
+            lst = np.asarray(send_lists[i][j], np.int64) + i * src_chunk
+            pos = np.searchsorted(lst, s[m])
+            local_addr[m] = src_chunk + i * s_max + pos
+        edge_src_local[j, : len(e)] = local_addr
+        edge_dst_local[j, : len(e)] = d - j * dst_chunk
+        edge_mask[j, : len(e)] = True
+
+    return GraphPartition(
+        n_parts=P,
+        n_src=n_src,
+        n_dst=n_dst,
+        edge_src_local=edge_src_local,
+        edge_dst_local=edge_dst_local,
+        edge_mask=edge_mask,
+        send_idx=send_idx,
+        send_mask=send_mask,
+        src_chunk=src_chunk,
+        dst_chunk=dst_chunk,
+        n_edges_max=e_max,
+        s_max=s_max,
+    )
+
+
+def gather_src_features(
+    part: GraphPartition, src_feat_local: jax.Array, axis_name: str
+) -> jax.Array:
+    """Inside shard_map: local src features [src_chunk, F] -> address space
+    [src_chunk + P*s_max, F] = [own || received buckets]."""
+    P = part.n_parts
+    r = lax.axis_index(axis_name)
+    send_idx = jnp.asarray(part.send_idx)[r]  # [P, Smax]
+    send_mask = jnp.asarray(part.send_mask)[r][..., None]
+    outgoing = src_feat_local[send_idx] * send_mask  # [P, Smax, F]
+    # all_to_all: slot j of my outgoing goes to rank j; I receive bucket from
+    # every rank i at slot i.
+    received = lax.all_to_all(
+        outgoing, axis_name, split_axis=0, concat_axis=0, tiled=True
+    )  # [P, Smax, F]
+    return jnp.concatenate(
+        [src_feat_local, received.reshape(P * part.s_max, -1)], axis=0
+    )
+
+
+def partitioned_message_passing(
+    part: GraphPartition,
+    src_feat_local: jax.Array,
+    edge_feat_local: jax.Array,
+    axis_name: str,
+) -> jax.Array:
+    """One aggregate step: sum over edges of (src_feat * edge_feat) onto the
+    local dst nodes — the distributed counterpart of
+    `ops.graph_ops.aggregate` used by encoder/processor/decoder blocks."""
+    r = lax.axis_index(axis_name)
+    addr = gather_src_features(part, src_feat_local, axis_name)
+    e_src = jnp.asarray(part.edge_src_local)[r]
+    e_dst = jnp.asarray(part.edge_dst_local)[r]
+    e_mask = jnp.asarray(part.edge_mask)[r][..., None]
+    msgs = addr[e_src] * edge_feat_local * e_mask
+    return jax.ops.segment_sum(msgs, e_dst, num_segments=part.dst_chunk)

@@ -112,3 +112,48 @@ class TestDistSHT:
             jnp.asarray(a), NamedSharding(mesh, P(None, "x"))
         )))
         np.testing.assert_allclose(f, f_ref, atol=1e-4)
+
+
+class TestGraphPartition:
+    def test_partitioned_aggregate_matches_single_device(self):
+        from jax import shard_map
+
+        from dlwpbench_tpu.parallel.graph_partition import (
+            partition_graph_nodewise,
+            partitioned_message_passing,
+        )
+
+        nparts = 4
+        mesh = _mesh_x(nparts)
+        rng = np.random.default_rng(0)
+        n_src, n_dst, E, F = 37, 29, 200, 8
+        src = rng.integers(0, n_src, E)
+        dst = rng.integers(0, n_dst, E)
+        src_feat = rng.standard_normal((n_src, F)).astype(np.float32)
+        edge_feat = rng.standard_normal((E, F)).astype(np.float32)
+
+        # single-device oracle
+        want = np.zeros((n_dst, F), np.float32)
+        np.add.at(want, dst, src_feat[src] * edge_feat)
+
+        part = partition_graph_nodewise(src, dst, n_src, n_dst, nparts)
+
+        sc, dc = part.src_chunk, part.dst_chunk
+        src_pad = np.zeros((nparts * sc, F), np.float32)
+        src_pad[:n_src] = src_feat
+        ef = np.zeros((nparts, part.n_edges_max, F), np.float32)
+        for r in range(nparts):
+            e_ids = np.nonzero((dst // dc) == r)[0]
+            ef[r, : len(e_ids)] = edge_feat[e_ids]
+
+        f = shard_map(
+            lambda s_, e_: partitioned_message_passing(part, s_, e_[0], "x")[
+                None
+            ],
+            mesh=mesh,
+            in_specs=(P("x", None), P("x", None, None)),
+            out_specs=P("x", None, None),
+        )
+        got = np.asarray(jax.jit(f)(jnp.asarray(src_pad), jnp.asarray(ef)))
+        got = got.reshape(nparts * dc, F)[:n_dst]
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
