@@ -5,7 +5,7 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Methodology
 -----------
-Flagship config: U-Net (hidden 64-128-256, ~2.8M params), batch 16, 16-step
+Flagship config: U-Net (hidden 64-128-256, ~2.8M params), batch 64, 16-step
 autoregressive rollout (the reference's evaluation protocol: a 17-frame
 sequence -> 16 predicted steps, `configs/testing/default.yaml`), 8 prognostic
 channels on the 32x64 grid (t850, t2m, u10, v10, z300/500/700/1000 —
@@ -41,11 +41,11 @@ import numpy as np
 from dlwpbench_tpu.models.unet import UNet
 
 BASELINE_GRIDPOINTS_PER_S = 14.7e6
-REPEATS = 16
+REPEATS = 8
 
 
 def main():
-    B, T, Cc, Cp, Cq, H, W = 16, 17, 4, 1, 8, 32, 64
+    B, T, Cc, Cp, Cq, H, W = 64, 17, 4, 1, 8, 32, 64
     model = UNet(
         constant_channels=Cc,
         prescribed_channels=Cp,
