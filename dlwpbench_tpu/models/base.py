@@ -62,7 +62,14 @@ class RolloutModel(nn.Module):
     `step(x, state)` maps the assembled input [B, (F), H, W, Cin] to the
     prognostic increment [B, (F), H, W, Cq] plus the next model state (None
     for stateless nets).
+
+    `remat=True` rematerializes each rollout step in the backward pass
+    (`jax.checkpoint` per scan iteration — the TPU analog of the reference's
+    `torch.utils.checkpoint` segment checkpointing, SURVEY 2.7): activation
+    memory for an N-step rollout drops from O(N * net) to O(net).
     """
+
+    remat: bool = False
 
     # Subclasses are dataclasses; these fields are re-declared there.
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -113,8 +120,9 @@ class RolloutModel(nn.Module):
             window = jnp.concatenate([window[:, 1:], out[:, None]], axis=1)
             return (window, state), out
 
+        scan_body = nn.remat(body, prevent_cse=False) if self.remat else body
         scan = nn.scan(
-            body,
+            scan_body,
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,

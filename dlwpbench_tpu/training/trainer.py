@@ -162,25 +162,39 @@ class Trainer:
         if accum == 1:
             loss, grads = micro(const, pres, prog, target)
         else:
+            # Micro-batches weighted by their share of the batch, so the
+            # accumulated loss/grads equal the single big-batch step exactly
+            # (incl. a remainder chunk when B % accum != 0; the reference's
+            # tensor .split keeps the remainder too, `train.py:179-183`).
+            B = prog.shape[0]
+            n_full = B // accum
+
             def split(x):
                 if x is None:
                     return None
-                b = x.shape[0] // accum * accum
-                return x[:b].reshape(accum, -1, *x.shape[1:])
+                return x[: n_full * accum].reshape(accum, n_full, *x.shape[1:])
 
             def body(carry, mb):
                 loss_acc, grads_acc = carry
                 loss, grads = micro(mb["c"], mb["p"], mb["g"], mb["t"])
+                w = n_full / B
                 return (
-                    loss_acc + loss,
-                    jax.tree.map(jnp.add, grads_acc, grads),
+                    loss_acc + w * loss,
+                    jax.tree.map(lambda a, g: a + w * g, grads_acc, grads),
                 ), None
 
             zeros = jax.tree.map(jnp.zeros_like, params)
             mbs = {"c": split(const), "p": split(pres), "g": split(prog), "t": split(target)}
             (loss, grads), _ = jax.lax.scan(body, (0.0, zeros), mbs)
-            loss = loss / accum
-            grads = jax.tree.map(lambda g: g / accum, grads)
+            rem = B - n_full * accum
+            if rem:
+                tail = lambda x: None if x is None else x[n_full * accum :]
+                loss_r, grads_r = micro(
+                    tail(const), tail(pres), tail(prog), tail(target)
+                )
+                w = rem / B
+                loss = loss + w * loss_r
+                grads = jax.tree.map(lambda a, g: a + w * g, grads, grads_r)
 
         if self.clip_gradients:
             grads, _ = clip_grads_to(grads, lr)

@@ -1,0 +1,133 @@
+"""Trainer integration tests: fit loop, checkpoint resume, remat rollout."""
+
+import numpy as np
+import pytest
+
+
+def _make_ds(T=48, Cq=2, H=8, W=16, seq=4):
+    from dlwpbench_tpu.data.dataset import WindowedWeatherDataset
+
+    rng = np.random.default_rng(0)
+    prog = np.cumsum(
+        0.1 * rng.standard_normal((T, Cq, H, W)), axis=0
+    ).astype(np.float32)
+    return WindowedWeatherDataset(prognostic=prog, sequence_length=seq, context_size=1)
+
+
+class TestFitAndResume:
+    def test_fit_checkpoints_and_resume(self, tmp_path):
+        from dlwpbench_tpu.models.unet import UNet
+        from dlwpbench_tpu.training.trainer import (
+            Trainer,
+            load_checkpoint,
+        )
+
+        ds = _make_ds()
+        model = UNet(
+            constant_channels=0,
+            prescribed_channels=0,
+            prognostic_channels=2,
+            hidden_channels=(4,),
+            context_size=1,
+        )
+        tr = Trainer(model, epochs=2, learning_rate=1e-3)
+        state = tr.init(next(iter(ds.batches(2))))
+        run_dir = str(tmp_path)
+        tr.fit(state, ds, ds, batch_size=4, run_dir=run_dir, model_name="m",
+               verbose=False)
+        assert state.epoch == 2
+        assert (tmp_path / "checkpoints" / "m_last.ckpt").exists()
+        assert (tmp_path / "checkpoints" / "m_best.ckpt").exists()
+
+        # resume: restored state continues from epoch 2 with more epochs
+        tr2 = Trainer(model, epochs=3, learning_rate=1e-3)
+        tpl = tr2.init(next(iter(ds.batches(2))))
+        restored = load_checkpoint(run_dir, "m", tpl, kind="last")
+        assert restored.epoch == 2
+        assert np.isfinite(restored.best_val_error)
+        tr2.fit(restored, ds, ds, batch_size=4, run_dir=run_dir,
+                model_name="m", verbose=False)
+        assert restored.epoch == 3
+
+    def test_loss_decreases(self):
+        from dlwpbench_tpu.models.unet import UNet
+        from dlwpbench_tpu.training.trainer import Trainer
+
+        ds = _make_ds(T=64)
+        model = UNet(
+            constant_channels=0,
+            prescribed_channels=0,
+            prognostic_channels=2,
+            hidden_channels=(8,),
+            context_size=1,
+        )
+        tr = Trainer(model, epochs=5, learning_rate=3e-3)
+        state = tr.init(next(iter(ds.batches(2))))
+        l0 = tr.train_epoch(state, ds, batch_size=8)
+        for _ in range(4):
+            l = tr.train_epoch(state, ds, batch_size=8)
+        assert l < l0
+
+    def test_grad_accumulation_equivalence(self):
+        """accum=2 over a batch ~ single big-batch step (same grads modulo
+        averaging order)."""
+        import jax
+
+        from dlwpbench_tpu.models.unet import UNet
+        from dlwpbench_tpu.training.trainer import Trainer
+
+        ds = _make_ds()
+        model = UNet(
+            constant_channels=0,
+            prescribed_channels=0,
+            prognostic_channels=2,
+            hidden_channels=(4,),
+            context_size=1,
+        )
+        t1 = Trainer(model, epochs=1, clip_gradients=False)
+        t2 = Trainer(model, epochs=1, clip_gradients=False,
+                     gradient_accumulation_steps=2)
+        s1 = t1.init(next(iter(ds.batches(4))))
+        s2 = t2.init(next(iter(ds.batches(4))))
+        l1 = t1.train_epoch(s1, ds, batch_size=4, shuffle=False)
+        l2 = t2.train_epoch(s2, ds, batch_size=4, shuffle=False)
+        assert l1 == pytest.approx(l2, rel=1e-4)
+        d = jax.tree.map(
+            lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+            s1.params, s2.params,
+        )
+        assert max(jax.tree.leaves(d)) < 1e-5
+
+
+class TestRemat:
+    def test_remat_same_values_and_grads(self):
+        import jax
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.models.unet import UNet
+
+        kw = dict(
+            constant_channels=0,
+            prescribed_channels=0,
+            prognostic_channels=2,
+            hidden_channels=(4,),
+            context_size=1,
+        )
+        m0 = UNet(**kw)
+        m1 = UNet(remat=True, **kw)
+        prog = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 5, 2, 8, 16)),
+            jnp.float32,
+        )
+        p = m0.init(jax.random.PRNGKey(0), None, None, prog)
+
+        def loss(params, model):
+            return (model.apply(params, None, None, prog) ** 2).mean()
+
+        l0, g0 = jax.value_and_grad(loss)(p, m0)
+        l1, g1 = jax.value_and_grad(loss)(p, m1)
+        assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), g0, g1
+        )
+        assert max(jax.tree.leaves(diff)) < 1e-5
