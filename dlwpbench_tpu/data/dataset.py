@@ -116,6 +116,27 @@ class WindowedWeatherDataset:
             self.context_size :
         ].astype(np.float32)
 
+    def compute_statistics(self) -> dict:
+        """Per-channel mean/std/min/max over the split (reference
+        `datasets.py:419-453` compute_statistics)."""
+        out = {}
+        for role, arr in (
+            ("prognostic", self.prognostic),
+            ("prescribed", self.prescribed),
+            ("constants", self.constants),
+        ):
+            if arr is None:
+                continue
+            c_axis = 1 if arr.ndim >= 4 else 0
+            axes = tuple(i for i in range(arr.ndim) if i != c_axis)
+            out[role] = {
+                "mean": np.nanmean(arr, axis=axes).tolist(),
+                "std": np.nanstd(arr, axis=axes).tolist(),
+                "min": np.nanmin(arr, axis=axes).tolist(),
+                "max": np.nanmax(arr, axis=axes).tolist(),
+            }
+        return out
+
     def batches(
         self, batch_size: int, shuffle: bool = False, drop_last: bool = False
     ) -> Iterator[tuple]:

@@ -76,7 +76,18 @@ def evaluate_run(run_dir: str, sequence_length: int, batch_size: int, video: boo
 
     out_dir = os.path.join(run_dir, "evaluation")
     E.write_forecast_files(out_dir, inits, outputs, targets, var_names, lats, lons)
-    results = E.compute_metrics(outputs, targets, lats, var_names, out_dir)
+
+    # ACC needs the climatology forecast (reference `evaluate.py:806-821`
+    # reads outputs/climatology/evaluation/); produced by build_baselines.py.
+    clim = None
+    clim_path = os.path.join("outputs", "climatology", "evaluation", "outputs.npz")
+    if os.path.exists(clim_path):
+        clim_arr = np.load(clim_path)["outputs"]
+        if clim_arr.shape[1] >= outputs.shape[1] and clim_arr.shape[0] >= outputs.shape[0]:
+            clim = clim_arr[: outputs.shape[0], : outputs.shape[1]]
+    results = E.compute_metrics(
+        outputs, targets, lats, var_names, out_dir, climatology=clim
+    )
     print("RMSE (first var, per lead time):",
           np.round(results["rmse"][var_names[0]], 4).tolist())
 

@@ -216,3 +216,15 @@ class TestNativeBatcher:
         native.add_gaussian_noise(x, 0.5, seed=42)
         assert abs(x.mean()) < 0.01
         assert abs(x.std() - 0.5) < 0.01
+
+
+def test_compute_statistics():
+    from dlwpbench_tpu.data.dataset import WindowedWeatherDataset
+
+    prog = np.stack(
+        [np.full((4, 8), 2.0), np.full((4, 8), -1.0)], axis=0
+    )[None].repeat(10, 0).astype(np.float32)  # [10, 2, 4, 8]
+    ds = WindowedWeatherDataset(prognostic=prog, sequence_length=3)
+    st = ds.compute_statistics()
+    np.testing.assert_allclose(st["prognostic"]["mean"], [2.0, -1.0])
+    np.testing.assert_allclose(st["prognostic"]["std"], [0.0, 0.0])
