@@ -66,6 +66,10 @@ def main(argv=None):
     results = {}
     for name, model in zoo.items():
         try:
+            # remat keeps the backward program small (the remote compiler
+            # crashes on full 14-step backward graphs for the larger nets)
+            if hasattr(model, "remat"):
+                model = model.replace(remat=True)
             tgt = target[:, : T - model.context_size]
             if cpu is not None:
                 with jax.default_device(cpu):

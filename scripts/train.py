@@ -35,6 +35,11 @@ def main(argv):
 
     import dlwpbench_tpu.models  # noqa: F401  (registers the zoo)
 
+    # Rematerialize rollout steps during training (activation memory O(step)
+    # instead of O(rollout); also keeps backward programs small enough for
+    # the compiler).  Override with model.remat=false.
+    if "remat" not in cfg.model:
+        cfg.model["remat"] = True
     model = registry.build_model(cfg.model)
     ctx = int(cfg.model.context_size)
     train_ds, val_ds, test_ds, stats = build_datasets(
