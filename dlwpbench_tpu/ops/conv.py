@@ -113,7 +113,8 @@ def avg_pool_2x(x: jax.Array, mesh: str = "equirectangular") -> jax.Array:
 
 
 ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
-    "gelu": nn.gelu,
+    # exact (erf) gelu to match torch.nn.GELU's default for rollout parity
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "relu": nn.relu,
     "tanh": jnp.tanh,
     "silu": nn.silu,
