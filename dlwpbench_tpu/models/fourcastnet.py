@@ -140,7 +140,8 @@ class FourCastNet(RolloutModel):
                 n_modes=tuple(self.n_modes),
             )(x)
 
-        x = nn.LayerNorm(epsilon=1e-6)(x)
+        # NOTE: the reference defines a final LayerNorm but never applies it
+        # before the head (`fourcastnet.py:283-293,349`); match that behavior.
         x = nn.Dense(
             self.prognostic_channels * ph * pw,
             use_bias=False,

@@ -412,3 +412,230 @@ class TestFullConvLSTMRolloutParity:
         )
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class TestFullFourCastNetRolloutParity:
+    def test_afnonet_rollout_allclose(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        RefAFNONet = _import_or_skip("models.fourcastnet.fourcastnet", "AFNONet")
+
+        from dlwpbench_tpu.models.fourcastnet import FourCastNet
+
+        Cc, Cp, Cq = 2, 1, 3
+        # T = context+1: the reference's own closed-loop branch crashes with
+        # `.to()` on a python list (fork defect, SURVEY 2.9,
+        # `fourcastnet.py:336-340`), so only the first step is comparable;
+        # multi-step scan semantics are covered by the UNet/ConvLSTM full
+        # parities and the rollout oracle tests.
+        B, T, H, W, D, depth, nb = 2, 2, 16, 32, 32, 2, 4
+        ref = RefAFNONet(
+            img_height=H,
+            img_width=W,
+            patch_size=(1, 1),
+            constant_channels=Cc,
+            prescribed_channels=Cp,
+            prognostic_channels=Cq,
+            embed_dim=D,
+            depth=depth,
+            num_blocks=nb,
+            context_size=1,
+            use_pos_embed=True,
+        ).eval()
+        ours = FourCastNet(
+            img_height=H,
+            img_width=W,
+            patch_size=(1, 1),
+            constant_channels=Cc,
+            prescribed_channels=Cp,
+            prognostic_channels=Cq,
+            embed_dim=D,
+            depth=depth,
+            num_blocks=nb,
+            context_size=1,
+        )
+        rng = np.random.default_rng(0)
+        const = rng.standard_normal((B, 1, Cc, H, W)).astype(np.float32)
+        pres = rng.standard_normal((B, T, Cp, H, W)).astype(np.float32)
+        prog = rng.standard_normal((B, T, Cq, H, W)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(
+                torch.tensor(const), torch.tensor(pres), torch.tensor(prog)
+            ).numpy()
+
+        def lin(m):
+            return {
+                "kernel": jnp.asarray(m.weight.detach().numpy().T),
+                "bias": jnp.asarray(m.bias.detach().numpy()),
+            }
+
+        def ln(m):
+            return {
+                "scale": jnp.asarray(m.weight.detach().numpy()),
+                "bias": jnp.asarray(m.bias.detach().numpy()),
+            }
+
+        tree = {
+            "Conv_0": {
+                "kernel": jnp.asarray(
+                    ref.patch_embed.proj.weight.detach().numpy().transpose(2, 3, 1, 0)
+                ),
+                "bias": jnp.asarray(ref.patch_embed.proj.bias.detach().numpy()),
+            },
+            "pos_embed": jnp.asarray(
+                ref.pos_embed.detach().numpy().reshape(1, H, W, D)
+            ),
+            "Dense_0": {
+                "kernel": jnp.asarray(ref.head.weight.detach().numpy().T)
+            },
+        }
+        for i, blk in enumerate(ref.blocks):
+            tree[f"AFNOBlock_{i}"] = {
+                "LayerNorm_0": ln(blk.norm1),
+                "LayerNorm_1": ln(blk.norm2),
+                "AFNO2DFilter_0": {
+                    "w1": jnp.asarray(blk.filter.w1.detach().numpy()),
+                    "b1": jnp.asarray(blk.filter.b1.detach().numpy()),
+                    "w2": jnp.asarray(blk.filter.w2.detach().numpy()),
+                    "b2": jnp.asarray(blk.filter.b2.detach().numpy()),
+                },
+                "Mlp_0": {
+                    "Dense_0": lin(blk.mlp.fc1),
+                    "Dense_1": lin(blk.mlp.fc2),
+                },
+            }
+        got = np.asarray(
+            ours.apply({"params": tree}, jnp.asarray(const), jnp.asarray(pres),
+                       jnp.asarray(prog))
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+class TestFullSwinRolloutParity:
+    def test_swin_rollout_allclose(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        RefSwin = _import_or_skip(
+            "models.swintransformer.swin_transformer", "SwinTransformer"
+        )
+
+        from dlwpbench_tpu.models.swin import SwinTransformer
+
+        Cc, Cp, Cq, D = 2, 1, 3, 16
+        B, T, H, W = 2, 4, 16, 32
+        depths, heads = [2, 2], [2, 2]
+        ref = RefSwin(
+            img_height=H,
+            img_width=W,
+            patch_size=1,
+            constant_channels=Cc,
+            prescribed_channels=Cp,
+            prognostic_channels=Cq,
+            embed_dim=D,
+            depths=depths,
+            num_heads=heads,
+            drop_path_rate=0.0,
+            ape=False,
+            patch_norm=True,
+            context_size=1,
+        )
+        # the reference's train() override returns None, so .eval() would
+        # return None (another fork quirk); set eval mode in place instead
+        ref.train(False)
+        ours = SwinTransformer(
+            img_height=H,
+            img_width=W,
+            patch_size=1,
+            constant_channels=Cc,
+            prescribed_channels=Cp,
+            prognostic_channels=Cq,
+            embed_dim=D,
+            depths=tuple(depths),
+            num_heads=tuple(heads),
+            ape=False,
+            patch_norm=True,
+            context_size=1,
+        )
+        rng = np.random.default_rng(0)
+        const = rng.standard_normal((B, 1, Cc, H, W)).astype(np.float32)
+        pres = rng.standard_normal((B, T, Cp, H, W)).astype(np.float32)
+        prog = rng.standard_normal((B, T, Cq, H, W)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(
+                torch.tensor(const), torch.tensor(pres), torch.tensor(prog)
+            ).numpy()
+
+        def lin(m):
+            d = {"kernel": jnp.asarray(m.weight.detach().numpy().T)}
+            if m.bias is not None:
+                d["bias"] = jnp.asarray(m.bias.detach().numpy())
+            return d
+
+        def ln(m):
+            return {
+                "scale": jnp.asarray(m.weight.detach().numpy()),
+                "bias": jnp.asarray(m.bias.detach().numpy()),
+            }
+
+        tree = {
+            "Conv_0": {
+                "kernel": jnp.asarray(
+                    ref.patch_embed.proj.weight.detach().numpy().transpose(2, 3, 1, 0)
+                ),
+                "bias": jnp.asarray(ref.patch_embed.proj.bias.detach().numpy()),
+            },
+            "LayerNorm_0": ln(ref.patch_embed.norm),
+            "LayerNorm_1": ln(ref.norm0),
+            "LayerNorm_2": ln(ref.norm1),
+            "PatchMerging_0": {
+                "LayerNorm_0": ln(ref.layers[0].downsample.norm),
+                "Dense_0": lin(ref.layers[0].downsample.reduction),
+            },
+            "Conv_1": {
+                "kernel": jnp.asarray(
+                    ref.final.weight.detach().numpy().transpose(2, 3, 1, 0)
+                ),
+                "bias": jnp.asarray(ref.final.bias.detach().numpy()),
+            },
+        }
+        bi = 0
+        for stage in ref.layers:
+            for blk in stage.blocks:
+                tree[f"SwinBlock_{bi}"] = {
+                    "LayerNorm_0": ln(blk.norm1),
+                    "LayerNorm_1": ln(blk.norm2),
+                    "WindowAttention_0": {
+                        "relative_position_bias_table": jnp.asarray(
+                            blk.attn.relative_position_bias_table.detach().numpy()
+                        ),
+                        "Dense_0": lin(blk.attn.qkv),
+                        "Dense_1": lin(blk.attn.proj),
+                    },
+                    "Mlp_0": {
+                        "Dense_0": lin(blk.mlp.fc1),
+                        "Dense_1": lin(blk.mlp.fc2),
+                    },
+                }
+                bi += 1
+        # decoder ConvTranspose: torch [in, out, kh, kw] -> flax
+        # [kh, kw, in, out], spatially flipped
+        for k, layer in enumerate(ref.decoder):
+            m = layer[0]
+            kern = m.weight.detach().numpy().transpose(2, 3, 0, 1)[::-1, ::-1].copy()
+            tree[f"ConvTranspose_{k}"] = {
+                "kernel": jnp.asarray(kern),
+                "bias": jnp.asarray(m.bias.detach().numpy()),
+            }
+        got = np.asarray(
+            ours.apply({"params": tree}, jnp.asarray(const), jnp.asarray(pres),
+                       jnp.asarray(prog))
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-4)
