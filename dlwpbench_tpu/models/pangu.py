@@ -168,6 +168,10 @@ class EarthSpecificBlock(nn.Module):
     window_size: tuple[int, int, int] = (2, 6, 12)
     shift: bool = False
     mlp_ratio: float = 4.0
+    # Reproduce the reference's forward-roll quirk (longitude rolled by
+    # shift_lat instead of shift_lon, `panguweather.py:292`) for parity
+    # testing; default False = self-consistent shifts.
+    reference_roll_quirk: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array):
@@ -181,14 +185,15 @@ class EarthSpecificBlock(nn.Module):
         shift_size = tuple(w // 2 for w in win)
 
         shortcut = x
-        x = nn.LayerNorm()(x).reshape(B, Pl, Lat, Lon, C)
+        x = nn.LayerNorm(epsilon=1e-5)(x).reshape(B, Pl, Lat, Lon, C)
         x = jnp.pad(
             x, ((0, 0), pads[0], pads[1], pads[2], (0, 0))
         )
 
         if self.shift:
             spl, slat, slon = shift_size
-            x = jnp.roll(x, (-spl, -slat, -slon), axis=(1, 2, 3))
+            fwd_lon = slat if self.reference_roll_quirk else slon
+            x = jnp.roll(x, (-spl, -slat, -fwd_lon), axis=(1, 2, 3))
             mask = jnp.asarray(shift_window_mask(pad_res, win, shift_size))
         else:
             mask = None
@@ -214,7 +219,7 @@ class EarthSpecificBlock(nn.Module):
         ]
         x = x.reshape(B, L, C)
         x = shortcut + x
-        x = x + Mlp(int(C * self.mlp_ratio), C)(nn.LayerNorm()(x))
+        x = x + Mlp(int(C * self.mlp_ratio), C)(nn.LayerNorm(epsilon=1e-5)(x))
         return x
 
 
@@ -241,7 +246,7 @@ class DownSample(nn.Module):
         )
         x = x.reshape(B, Pl, out_lat, 2, out_lon, 2, C).transpose(0, 1, 2, 4, 3, 5, 6)
         x = x.reshape(B, Pl * out_lat * out_lon, 4 * C)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         return nn.Dense(2 * C, use_bias=False, kernel_init=trunc_normal_init())(x)
 
 
@@ -267,7 +272,7 @@ class UpSample(nn.Module):
         t, l = pad_h // 2, pad_w // 2
         x = x[:, :, t : t + out_lat, l : l + out_lon]
         x = x.reshape(B, Pl * out_lat * out_lon, self.out_dim)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         return nn.Dense(self.out_dim, use_bias=False, kernel_init=trunc_normal_init())(x)
 
 
@@ -286,6 +291,7 @@ class PanguWeather(RolloutModel):
     n_lon: int = 64
     context_size: int = 1
     mesh: str = "equirectangular"
+    reference_roll_quirk: bool = False
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -315,7 +321,8 @@ class PanguWeather(RolloutModel):
         def layer(x, dim, res, depth, heads):
             for i in range(depth):
                 x = EarthSpecificBlock(
-                    dim, res, heads, win, shift=(i % 2 == 1)
+                    dim, res, heads, win, shift=(i % 2 == 1),
+                    reference_roll_quirk=self.reference_roll_quirk,
                 )(x)
             return x
 

@@ -172,7 +172,7 @@ class SwinBlock(nn.Module):
         wh, ww = self.window
         sh, sw = self.shift
         shortcut = x
-        x = nn.LayerNorm()(x).reshape(B, H, W, C)
+        x = nn.LayerNorm(epsilon=1e-5)(x).reshape(B, H, W, C)
 
         # pad to window multiples: circular lon, zero lat (`:220-222`)
         pad_b = (wh - H % wh) % wh
@@ -204,7 +204,7 @@ class SwinBlock(nn.Module):
         x = x[:, :H, :W].reshape(B, H * W, C)
 
         x = shortcut + x
-        x = x + Mlp(int(C * self.mlp_ratio), C)(nn.LayerNorm()(x))
+        x = x + Mlp(int(C * self.mlp_ratio), C)(nn.LayerNorm(epsilon=1e-5)(x))
         return x
 
 
@@ -220,7 +220,7 @@ class PatchMerging(nn.Module):
         x2 = x[:, 0::2, 1::2]
         x3 = x[:, 1::2, 1::2]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1).reshape(B, -1, 4 * C)
-        x = nn.LayerNorm()(x)
+        x = nn.LayerNorm(epsilon=1e-5)(x)
         return nn.Dense(2 * C, use_bias=False, kernel_init=trunc_normal_init())(x)
 
 
@@ -269,7 +269,7 @@ class SwinTransformer(RolloutModel):
         x = nn.Conv(self.embed_dim, (p, p), strides=(p, p), padding="VALID")(x)
         Wh, Ww = x.shape[1], x.shape[2]
         if self.patch_norm:
-            x = nn.LayerNorm()(x.reshape(B, -1, self.embed_dim)).reshape(
+            x = nn.LayerNorm(epsilon=1e-5)(x.reshape(B, -1, self.embed_dim)).reshape(
                 B, Wh, Ww, self.embed_dim
             )
         if self.ape:
@@ -300,7 +300,7 @@ class SwinTransformer(RolloutModel):
                     mesh=self.mesh,
                     use_flash=self.use_flash_attention,
                 )(x, H, W)
-            x_out = nn.LayerNorm()(x)
+            x_out = nn.LayerNorm(epsilon=1e-5)(x)
             feats.append(x_out.reshape(B, H, W, dim))
             if i < n_layers - 1:
                 x = PatchMerging(dim)(x, H, W)
