@@ -219,8 +219,10 @@ class Trainer:
     def train_epoch(self, state: TrainState, dataset, batch_size: int, shuffle=True):
         lr = float(cosine_lr(state.epoch, self.base_lr, self.epochs))
         losses = []
-        for batch in dataset.batches(batch_size, shuffle=shuffle):
-            const, pres, prog, target = (_j(x) for x in batch)
+        for batch in _prefetch_to_device(
+            dataset.batches(batch_size, shuffle=shuffle)
+        ):
+            const, pres, prog, target = batch
             self._rng, sub = jax.random.split(self._rng)
             state.params, state.opt_state, loss = self._train_step(
                 state.params, state.opt_state, const, pres, prog, target,
@@ -267,16 +269,36 @@ class Trainer:
         on_epoch_end: Optional[Callable] = None,
     ) -> TrainState:
         val_batch_size = val_batch_size or batch_size
+        logger = None
+        if run_dir:
+            from dlwpbench_tpu.utils.logging import RunLogger
+
+            logger = RunLogger(run_dir)
         while state.epoch < self.epochs:
             t0 = time.time()
             train_loss = self.train_epoch(state, train_ds, batch_size)
             val_loss, per_lead = self.validate(state, val_ds, val_batch_size)
+            epoch_s = time.time() - t0
             if verbose:
                 print(
                     f"epoch {state.epoch:3d}  train {train_loss:.5f}  "
-                    f"val {val_loss:.5f}  ({time.time()-t0:.1f}s)",
+                    f"val {val_loss:.5f}  ({epoch_s:.1f}s)",
                     flush=True,
                 )
+            if logger:
+                # scalar stream + per-lead-time validation losses (the
+                # reference's W&B tables, `train.py:393-458`)
+                rec = {
+                    "train_loss": train_loss,
+                    "val_loss": val_loss,
+                    "epoch_s": epoch_s,
+                    "lr": float(
+                        cosine_lr(state.epoch - 1, self.base_lr, self.epochs)
+                    ),
+                }
+                for t in range(min(per_lead.shape[0], 64) if per_lead.ndim else 0):
+                    rec[f"val_mse/lead_{t+1}"] = float(per_lead[t].mean())
+                logger.log(rec, step=state.epoch)
             if run_dir:
                 if val_loss < state.best_val_error:
                     state.best_val_error = val_loss
@@ -284,11 +306,29 @@ class Trainer:
                 save_checkpoint(run_dir, model_name, state, kind="last")
             if on_epoch_end:
                 on_epoch_end(state, train_loss, val_loss, per_lead)
+        if logger:
+            logger.close()
         return state
 
 
 def _j(x):
     return None if x is None else jnp.asarray(x)
+
+
+def _prefetch_to_device(batch_iter, depth: int = 2):
+    """Async host->device input pipeline: keep `depth` batches in flight
+    (jax device transfers are async, so staging the NEXT batch while the
+    current train step runs hides the transfer — the TPU analog of the
+    reference's DataLoader worker prefetch, `train.py:148-160`)."""
+    import collections
+
+    queue = collections.deque()
+    for batch in batch_iter:
+        queue.append(tuple(_j(x) for x in batch))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()
 
 
 # ----------------------------------------------------------------------
