@@ -157,3 +157,26 @@ class TestGraphPartition:
         got = np.asarray(jax.jit(f)(jnp.asarray(src_pad), jnp.asarray(ef)))
         got = got.reshape(nparts * dc, F)[:n_dst]
         np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestShardedHealpixPad:
+    @pytest.mark.parametrize("nside,pad", [(8, 1), (8, 2)])
+    def test_matches_single_device(self, nside, pad):
+        from dlwpbench_tpu.ops.padding import healpix_pad
+        from dlwpbench_tpu.parallel.healpix_sharded import make_sharded_healpix_pad
+
+        mesh = _mesh_x(4)
+        C = 3
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((12, nside, nside, C)).astype(np.float32)
+
+        # oracle: channels-first healpix_pad
+        want = np.moveaxis(
+            np.asarray(healpix_pad(jnp.moveaxis(jnp.asarray(x), -1, 0), pad)),
+            0, -1,
+        )
+
+        fn = make_sharded_healpix_pad(mesh, nside, pad)
+        got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
