@@ -161,11 +161,18 @@ class TestGraphPartition:
 
 class TestShardedHealpixPad:
     @pytest.mark.parametrize("nside,pad", [(8, 1), (8, 2)])
+    def test_eight_way(self, nside, pad):
+        self._run(8, nside, pad)
+
+    @pytest.mark.parametrize("nside,pad", [(8, 1), (8, 2)])
     def test_matches_single_device(self, nside, pad):
+        self._run(4, nside, pad)
+
+    def _run(self, nparts, nside, pad):
         from dlwpbench_tpu.ops.padding import healpix_pad
         from dlwpbench_tpu.parallel.healpix_sharded import make_sharded_healpix_pad
 
-        mesh = _mesh_x(4)
+        mesh = _mesh_x(nparts)
         C = 3
         rng = np.random.default_rng(0)
         x = rng.standard_normal((12, nside, nside, C)).astype(np.float32)
