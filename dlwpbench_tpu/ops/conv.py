@@ -79,6 +79,12 @@ class GeoConv(nn.Module):
             if pad > 0:
                 x = jnp.pad(x, [(0, 0), (pad, pad), (pad, pad), (0, 0)])
             return conv(x)
+        if self.mesh == "torus":
+            # fully periodic (the Navier-Stokes domain boundary condition)
+            if pad > 0:
+                x = jnp.concatenate([x[:, :, -pad:], x, x[:, :, :pad]], axis=2)
+                x = jnp.concatenate([x[:, -pad:], x, x[:, :pad]], axis=1)
+            return conv(x)
         raise ValueError(f"unknown mesh {self.mesh!r}")
 
 

@@ -347,3 +347,54 @@ class TestSwinBiasExpansion:
         B4 = T2[dy.reshape(-1)].reshape(wh, wh, ww, ww, nh)
         got = B4.transpose(4, 0, 2, 1, 3).reshape(nh, N, N)
         np.testing.assert_allclose(got, want, atol=0)
+
+
+class TestTorusMesh:
+    def test_unet_torus_on_ns_shapes(self):
+        from dlwpbench_tpu.models.unet import UNet
+
+        m = UNet(
+            constant_channels=0,
+            prescribed_channels=0,
+            prognostic_channels=1,
+            hidden_channels=(8, 16),
+            context_size=1,
+            mesh="torus",
+        )
+        prog = jnp.asarray(
+            np.random.default_rng(0).standard_normal((2, 4, 1, 32, 32)),
+            jnp.float32,
+        )
+        p = jax.jit(m.init)(jax.random.PRNGKey(0), None, None, prog)
+        out = jax.jit(lambda pp, x: m.apply(pp, prognostic=x))(p, prog)
+        assert out.shape == (2, 3, 1, 32, 32)
+
+    def test_torus_conv_translation_equivariant(self):
+        """Periodic pad both dims: conv commutes with torus rolls."""
+        from dlwpbench_tpu.ops.conv import GeoConv
+
+        c = GeoConv(4, 3, mesh="torus")
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((1, 8, 8, 3)), jnp.float32
+        )
+        p = c.init(jax.random.PRNGKey(0), x)
+        y1 = np.asarray(c.apply(p, jnp.roll(x, (3, 5), axis=(1, 2))))
+        y2 = np.roll(np.asarray(c.apply(p, x)), (3, 5), axis=(1, 2))
+        np.testing.assert_allclose(y1, y2, atol=1e-5)
+
+    def test_fourcastnetv2_sfno_mixer(self):
+        from dlwpbench_tpu.models.fourcastnet import FourCastNet
+
+        _run(
+            FourCastNet(
+                img_height=16,
+                img_width=32,
+                patch_size=(1, 1),
+                constant_channels=2,
+                prescribed_channels=1,
+                prognostic_channels=2,
+                embed_dim=32,
+                depth=2,
+                filter="SFNO",
+            )
+        )
