@@ -439,3 +439,55 @@ class DiffMUNetHPX(DiffModernUNet):
     """HEALPix diffusion ModernUNet (reference `DiffMUNetHPX`)."""
 
     mesh: str = "healpix"
+
+
+class ConvNeXtLSTMBlock(nn.Module):
+    """ConvNeXt-style LSTM cell (reference `unet.py:958-1071`, the optional
+    recurrent block of the ModernUNet decoder).
+
+    Spatial mixing: depthwise k7 geo-conv on cat(x, h) -> GroupNorm ->
+    1x1 conv to 4*C gates -> GroupNorm(4); LSTM gate activation
+    (f, i, g, o); hidden = sigmoid(o) * GELU(GroupNorm(1x1(c_prev))).
+    Stateless functional form: call with (x, h, c) -> (h', c').
+    """
+
+    channels: int
+    kernel_size: int = 7
+    mesh: str = "equirectangular"
+    activation: str = "gelu"
+
+    @nn.compact
+    def __call__(self, x, h, c):
+        act = get_activation(self.activation)
+        C = self.channels
+        z = jnp.concatenate([x, h], axis=-1)
+        # depthwise spatial mixing: feature_group_count == in_channels
+        k = self.kernel_size
+        pad = k // 2
+        from dlwpbench_tpu.ops.padding import cylinder_pad
+
+        if self.mesh == "equirectangular":
+            z = jnp.moveaxis(cylinder_pad(jnp.moveaxis(z, -1, 1), pad), 1, -1)
+        else:
+            from dlwpbench_tpu.ops.padding import healpix_pad_channels_last
+
+            z = healpix_pad_channels_last(z, pad)
+        conv_dw = nn.Conv(
+            C, (k, k), padding="VALID", feature_group_count=C
+        )
+        if self.mesh == "healpix":
+            from dlwpbench_tpu.ops.conv import fold_faces, unfold_faces
+
+            z = unfold_faces(conv_dw(fold_faces(z)))
+        else:
+            z = conv_dw(z)
+        z = GroupNormCL(1)(z)
+        z = nn.Conv(4 * C, (1, 1))(z) if z.ndim == 4 else nn.Dense(4 * C)(z)
+        z = GroupNormCL(4)(z)
+
+        f, i, g, o = jnp.split(z, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        out_path = nn.Conv(C, (1, 1))(c) if c.ndim == 4 else nn.Dense(C)(c)
+        out_path = act(GroupNormCL(1)(out_path))
+        h_new = jax.nn.sigmoid(o) * out_path
+        return h_new, c_new

@@ -188,3 +188,22 @@ class TestDDPMScheduler:
             v = (jnp.sqrt(acp) * y - x0) / jnp.sqrt(jnp.maximum(1 - acp, 1e-12))
             y = ddpm.step(sched, v, t, y, jax.random.fold_in(key, 100 + k))
         np.testing.assert_allclose(np.asarray(y), np.asarray(x0), atol=2e-2)
+
+
+class TestConvNeXtLSTM:
+    def test_block_state_update(self):
+        from dlwpbench_tpu.models.modern_unet import ConvNeXtLSTMBlock
+
+        C, H, W = 8, 8, 16
+        blk = ConvNeXtLSTMBlock(channels=C)
+        r = np.random.default_rng(0)
+        x = jnp.asarray(r.standard_normal((2, H, W, C)), jnp.float32)
+        h = jnp.zeros((2, H, W, C))
+        c = jnp.zeros((2, H, W, C))
+        p = blk.init(jax.random.PRNGKey(0), x, h, c)
+        h1, c1 = blk.apply(p, x, h, c)
+        assert h1.shape == h.shape and c1.shape == c.shape
+        # state evolves and is input-dependent
+        h2, c2 = blk.apply(p, x * 2, h1, c1)
+        assert np.abs(np.asarray(h2 - h1)).max() > 0
+        assert np.isfinite(np.asarray(h2)).all()
