@@ -12,15 +12,12 @@ Three source types (config group `data/`):
 from __future__ import annotations
 
 import os
-from typing import Any
-
 import numpy as np
 
 from dlwpbench_tpu.data.dataset import (
     VariableStats,
     WindowedWeatherDataset,
     compute_stats,
-    normalize_variables,
     synthetic_weatherbench,
 )
 

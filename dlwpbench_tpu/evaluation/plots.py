@@ -12,8 +12,6 @@ All functions take plain numpy + dicts (no wandb); figures are saved PNG.
 
 from __future__ import annotations
 
-import os
-
 import matplotlib
 
 matplotlib.use("Agg")

@@ -17,7 +17,7 @@ the gate conv is a single NHWC conv producing 4*hidden channels (one MXU op).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

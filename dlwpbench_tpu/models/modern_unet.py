@@ -39,7 +39,6 @@ from flax import linen as nn
 from dlwpbench_tpu.models.base import (
     RolloutModel,
     _flatten_window,
-    _to_channels_first,
     _to_channels_last,
 )
 from dlwpbench_tpu.ops import ddpm as ddpm_ops

@@ -22,7 +22,7 @@ grids — exact bandlimited round trip, see that module).
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -28,9 +28,7 @@ from dlwpbench_tpu.ops.conv import (
     GeoConv,
     GeoConvTranspose,
     avg_pool_2x,
-    fold_faces,
     get_activation,
-    unfold_faces,
 )
 
 

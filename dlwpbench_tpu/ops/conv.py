@@ -17,7 +17,7 @@ TPU convolutions are fastest in NHWC with C on the 128-lane axis.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

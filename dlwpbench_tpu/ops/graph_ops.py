@@ -17,7 +17,7 @@ Blocks (exact wiring from the reference):
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

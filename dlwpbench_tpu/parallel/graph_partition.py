@@ -23,7 +23,6 @@ behavior the reference hand-codes in `autograd.py:189-254`).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

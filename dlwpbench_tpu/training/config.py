@@ -15,7 +15,6 @@ No external deps beyond PyYAML (baked into the image via other packages).
 
 from __future__ import annotations
 
-import copy
 import os
 import re
 from typing import Any, Mapping

@@ -14,7 +14,6 @@ args and returns (model, params).
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import zipfile

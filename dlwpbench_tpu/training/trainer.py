@@ -21,7 +21,6 @@ import dataclasses
 import math
 import os
 import time
-from functools import partial
 from typing import Any, Callable, Optional
 
 import jax
