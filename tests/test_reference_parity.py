@@ -275,7 +275,7 @@ class TestFullUNetRolloutParity:
             prognostic_channels=Cq,
             hidden_channels=tuple(hidden),
             n_convolutions=2,
-            activation="gelu",
+            activation="gelu_exact",  # torch.nn.GELU default is erf
             context_size=1,
         )
         B, T, H, W = 2, 5, 16, 32
