@@ -17,6 +17,7 @@ import numpy as np
 from dlwpbench_tpu.data.dataset import (
     VariableStats,
     WindowedWeatherDataset,
+    biweekly_init_indices,
     compute_stats,
     synthetic_weatherbench,
 )
@@ -81,7 +82,22 @@ def _synthetic(d, tr, va, te, ctx):
     splits = _split_windows(const, pres, prog)
     train = _mk(splits[0], int(tr["sequence_length"]), ctx, float(tr.get("noise", 0)), 1)
     val = _mk(splits[1], int(va["sequence_length"]), ctx, 0.0, 2)
-    test = _mk(splits[2], int((te or va)["sequence_length"]), ctx, 0.0, 3)
+    test_seq = int((te or va)["sequence_length"])
+    test = _mk(splits[2], test_seq, ctx, 0.0, 3)
+
+    # Forecast protocol: biweekly Monday/Thursday 11:00 UTC inits
+    # (reference `evaluate.py:56-77`); the synthetic timeline is 6-hourly
+    # from `start_date` and the test split inherits its tail.
+    timedelta_h = int(d.get("timedelta", 6))
+    start = np.datetime64(str(d.get("start_date", "2017-01-01T05:00")))
+    n_total = prog.shape[0]
+    times = start + np.arange(n_total) * np.timedelta64(timedelta_h, "h")
+    test_t0 = n_total - splits[2][2].shape[0]
+    test_times = times[test_t0:]
+    idx = biweekly_init_indices(test_times, test_times[0], test_times[-1])
+    idx = idx[idx + test_seq + 1 <= len(test_times)]
+    if len(idx):
+        test.init_indices = idx.tolist()
     return train, val, test, stats
 
 

@@ -228,3 +228,22 @@ def test_compute_statistics():
     st = ds.compute_statistics()
     np.testing.assert_allclose(st["prognostic"]["mean"], [2.0, -1.0])
     np.testing.assert_allclose(st["prognostic"]["std"], [0.0, 0.0])
+
+
+def test_synthetic_biweekly_test_inits():
+    from dlwpbench_tpu.data.sources import build_datasets
+
+    d = {
+        "type": "synthetic", "n_time": 600, "height": 8, "width": 16,
+        "prognostic_channels": 1, "prescribed_channels": 0,
+        "constant_channels": 0, "normalize": True, "seed": 0,
+    }
+    tr = {"sequence_length": 4, "noise": 0}
+    va = {"sequence_length": 4}
+    te = {"sequence_length": 6}
+    train, val, test, _ = build_datasets(d, tr, va, te, 1)
+    # test split uses explicit biweekly Mon/Thu 11:00 init indices
+    assert test.init_indices is not None and len(test.init_indices) > 0
+    # and windows fit inside the split
+    _, _, p, t = test[len(test.init_indices) - 1]
+    assert p.shape[0] == 6
