@@ -69,7 +69,7 @@ def main(argv=None):
             # remat keeps the backward program small (the remote compiler
             # crashes on full 14-step backward graphs for the larger nets)
             if hasattr(model, "remat"):
-                model = model.replace(remat=True)
+                model = model.clone(remat=True)
             tgt = target[:, : T - model.context_size]
             if cpu is not None:
                 with jax.default_device(cpu):
