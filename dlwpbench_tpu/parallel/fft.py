@@ -35,8 +35,15 @@ def _pad_to_multiple(x: jax.Array, axis: int, mult: int):
 def dist_rfft2(x_local: jax.Array, axis_name: str) -> jax.Array:
     """[..., H/P, W] real -> [..., H, Wf_pad/P] complex (H-axis spectrum full)."""
     p = lax.axis_size(axis_name)
-    # local rfft along W (rows independent)
-    xf = jnp.fft.rfft(x_local, axis=-1)  # [..., H/P, Wf]
+    # local rfft along W (rows independent), via complex FFT + slice: the
+    # RFFT primitive's transpose rule (jax/_src/lax/fft.py:_rfft_transpose)
+    # rejects shard_map's varying-manual-axes cotangents, while the complex
+    # FFT transpose is itself an FFT and differentiates cleanly.
+    shp = x_local.shape
+    wf = shp[-1] // 2 + 1
+    # flatten to rank 2: rank>2 C2C FFTs hang the axon relay compiler
+    x2 = x_local.reshape(-1, shp[-1]).astype(jnp.complex64)
+    xf = jnp.fft.fft(x2, axis=-1)[..., :wf].reshape(*shp[:-1], wf)
     xf, _ = _pad_to_multiple(xf, -1, p)
     wf_pad = xf.shape[-1]
     # distributed transpose: shard W-freq, gather H
@@ -48,15 +55,22 @@ def dist_rfft2(x_local: jax.Array, axis_name: str) -> jax.Array:
     # where index p0 along axis 0 is the block from rank p0.
     parts = [xf[i] for i in range(p)]
     xf = jnp.concatenate(parts, axis=-2)  # [..., H, Wf/P]
-    # full fft along H
-    return jnp.fft.fft(xf, axis=-2)
+    # full fft along H (flattened to rank 2, see above)
+    xt = jnp.moveaxis(xf, -2, -1)
+    s = xt.shape
+    yt = jnp.fft.fft(xt.reshape(-1, s[-1]), axis=-1).reshape(s)
+    return jnp.moveaxis(yt, -1, -2)
 
 
 def dist_irfft2(Xf_local: jax.Array, axis_name: str, W: int) -> jax.Array:
     """Inverse of dist_rfft2: [..., H, Wf_pad/P] -> [..., H/P, W] real."""
     p = lax.axis_size(axis_name)
     H = Xf_local.shape[-2]
-    xf = jnp.fft.ifft(Xf_local, axis=-2)  # [..., H, Wf/P]
+    xt = jnp.moveaxis(Xf_local, -2, -1)
+    s = xt.shape
+    xf = jnp.moveaxis(
+        jnp.fft.ifft(xt.reshape(-1, s[-1]), axis=-1).reshape(s), -1, -2
+    )  # [..., H, Wf/P]
     # distributed transpose back: shard H, gather W-freq
     xf = xf.reshape(*xf.shape[:-2], p, H // p, xf.shape[-1])  # [..., P, H/P, Wf/P]
     xf = jnp.moveaxis(xf, -3, 0)  # [P, ..., H/P, Wf/P]

@@ -28,6 +28,22 @@ from jax.sharding import Mesh, PartitionSpec as P
 from dlwpbench_tpu.ops.sht import SHTTables
 
 
+def _vma_safe_rfft(x: jax.Array, nfreq: int) -> jax.Array:
+    """rfft (norm="forward") via complex FFT + slice.
+
+    `jnp.fft.rfft`'s transpose rule (`jax/_src/lax/fft.py:_rfft_transpose`)
+    is built with `linear_transpose` over fixed unvarying avals and rejects
+    the varying-manual-axes cotangents produced by `jax.grad` through
+    `shard_map`.  The complex-FFT transpose is just another FFT, so routing
+    the forward through it keeps the distributed transforms differentiable
+    (~2x FFT flops; negligible next to the Legendre contraction).
+    """
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])  # rank>2 C2C FFTs hang the axon compiler
+    X = jnp.fft.fft(x2.astype(jnp.complex64), axis=-1, norm="forward")
+    return X[..., :nfreq].reshape(*shape[:-1], nfreq)
+
+
 def _transpose_fwd(xf: jax.Array, axis_name: str, p: int) -> jax.Array:
     """[..., H/P, M_pad] -> [..., H, M_pad/P] (shard m, gather lat)."""
     m_loc = xf.shape[-1] // p
@@ -53,8 +69,7 @@ def dist_sht(
     p = lax.axis_size(axis_name)
     idx = lax.axis_index(axis_name)
     m_pad = -(-tables.mmax // p) * p
-    X = jnp.fft.rfft(f_local.astype(jnp.float32), axis=-1, norm="forward")
-    X = X[..., : tables.mmax]
+    X = _vma_safe_rfft(f_local.astype(jnp.float32), tables.mmax)
     X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, m_pad - tables.mmax)])
     X = _transpose_fwd(X, axis_name, p)  # [..., nlat, M_pad/P]
 

@@ -187,3 +187,86 @@ class TestShardedHealpixPad:
         got = np.asarray(jax.jit(fn)(jnp.asarray(x)))
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestDistributedGradients:
+    def test_dist_sht_gradient_matches_single_device(self):
+        """Autodiff through the all_to_all transposes must produce the same
+        gradients as the single-device SHT (the reference hand-codes these
+        adjoints, `autograd.py:35-254`; JAX derives them)."""
+        from dlwpbench_tpu.ops.sht import sht, sht_tables
+        from dlwpbench_tpu.parallel.sht_dist import make_dist_sht
+
+        mesh = _mesh_x(4)
+        nlat, nlon = 16, 32
+        t = sht_tables(nlat, nlon, grid="equiangular")
+        x = jnp.asarray(
+            np.random.default_rng(5).standard_normal((nlat, nlon)), jnp.float32
+        )
+
+        def loss_single(a):
+            c = sht(a, t)
+            return jnp.sum(jnp.abs(c) ** 2)
+
+        # realistic pattern: the loss lives inside the sharded program
+        # (local partial + psum), so autodiff runs through the collectives
+        from jax import shard_map
+
+        from dlwpbench_tpu.parallel.sht_dist import dist_sht
+
+        @jax.jit
+        def loss_dist(a):
+            def local(al):
+                c = dist_sht(al, t, "x")
+                return jax.lax.psum(jnp.sum(jnp.abs(c) ** 2), "x")
+
+            return shard_map(
+                local, mesh=mesh, in_specs=P("x", None), out_specs=P()
+            )(a)
+
+        g1 = np.asarray(jax.grad(loss_single)(x))
+        xs = jax.device_put(x, NamedSharding(mesh, P("x", None)))
+        g2 = np.asarray(jax.jit(jax.grad(loss_dist))(xs))
+        np.testing.assert_allclose(g2, g1, rtol=1e-4, atol=1e-4)
+
+    def test_halo_gradient(self):
+        from jax import shard_map
+
+        from dlwpbench_tpu.ops.padding import cylinder_pad
+        from dlwpbench_tpu.parallel.halo import sharded_cylinder_pad
+
+        mesh = _mesh_x(4)
+        x = jnp.asarray(
+            np.random.default_rng(6).standard_normal((16, 24)), jnp.float32
+        )
+
+        # Loss = sum of squares of a VALID 3x3 conv over the padded slab: each
+        # output row is produced exactly once globally (summing the padded
+        # array directly would double-count halo rows on the sharded side).
+        k = jnp.asarray(np.arange(9, dtype=np.float32).reshape(3, 3) / 10.0)
+
+        def conv_valid(yp):
+            H, W = yp.shape[-2] - 2, yp.shape[-1] - 2
+            return sum(
+                k[i, j] * yp[..., i : i + H, j : j + W]
+                for i in range(3)
+                for j in range(3)
+            )
+
+        g1 = np.asarray(
+            jax.grad(lambda a: (conv_valid(cylinder_pad(a, 1)) ** 2).sum())(x)
+        )
+
+        @jax.jit
+        def loss_dist(a):
+            def local(al):
+                y = conv_valid(sharded_cylinder_pad(al, 1, "x"))
+                return jax.lax.psum((y**2).sum(), "x")
+
+            return shard_map(
+                local, mesh=mesh, in_specs=P("x", None), out_specs=P()
+            )(a)
+
+        xs = jax.device_put(x, NamedSharding(mesh, P("x", None)))
+        g2 = np.asarray(jax.jit(jax.grad(loss_dist))(xs))
+        np.testing.assert_allclose(g2, g1, rtol=1e-5, atol=1e-5)
