@@ -67,9 +67,16 @@ class RolloutModel(nn.Module):
     (`jax.checkpoint` per scan iteration — the TPU analog of the reference's
     `torch.utils.checkpoint` segment checkpointing, SURVEY 2.7): activation
     memory for an N-step rollout drops from O(N * net) to O(net).
+
+    `remat_policy` refines the FLOPs/HBM trade within each checkpointed
+    step: "full" saves nothing (max memory savings, recompute everything);
+    "dots" keeps MXU matmul/conv outputs resident and recomputes only the
+    cheap VPU elementwise chains; "dots_no_batch" additionally drops
+    batched matmul outputs.
     """
 
     remat: bool = False
+    remat_policy: str = "full"
 
     # Subclasses are dataclasses; these fields are re-declared there.
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -120,7 +127,22 @@ class RolloutModel(nn.Module):
             window = jnp.concatenate([window[:, 1:], out[:, None]], axis=1)
             return (window, state), out
 
-        scan_body = nn.remat(body, prevent_cse=False) if self.remat else body
+        if self.remat:
+            policies = {
+                "full": None,
+                "dots": jax.checkpoint_policies.dots_saveable,
+                "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            }
+            if self.remat_policy not in policies:
+                raise ValueError(
+                    f"unknown remat_policy {self.remat_policy!r}; "
+                    f"expected one of {sorted(policies)}"
+                )
+            scan_body = nn.remat(
+                body, prevent_cse=False, policy=policies[self.remat_policy]
+            )
+        else:
+            scan_body = body
         scan = nn.scan(
             scan_body,
             variable_broadcast="params",

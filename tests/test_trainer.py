@@ -131,3 +131,13 @@ class TestRemat:
             lambda a, b: float(jnp.abs(a - b).max()), g0, g1
         )
         assert max(jax.tree.leaves(diff)) < 1e-5
+
+        # remat policies trade recompute for HBM but must not change math
+        for policy in ("dots", "dots_no_batch"):
+            mp = UNet(remat=True, remat_policy=policy, **kw)
+            lp, gp = jax.value_and_grad(loss)(p, mp)
+            assert float(lp) == pytest.approx(float(l0), rel=1e-6)
+            diff = jax.tree.map(
+                lambda a, b: float(jnp.abs(a - b).max()), g0, gp
+            )
+            assert max(jax.tree.leaves(diff)) < 1e-5
