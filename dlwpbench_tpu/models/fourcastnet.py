@@ -50,6 +50,8 @@ class AFNOBlock(nn.Module):
     hard_thresholding_fraction: float = 1.0
     filter_type: str = "AFNO2D"
     n_modes: Sequence[int] = (12, 12)
+    spmd_mesh: Any = None  # jax Mesh: distribute the filter's transforms
+    dist_axis: str = "x"
 
     @nn.compact
     def __call__(self, x):
@@ -62,6 +64,8 @@ class AFNOBlock(nn.Module):
                 num_blocks=self.num_blocks,
                 sparsity_threshold=self.sparsity_threshold,
                 hard_thresholding_fraction=self.hard_thresholding_fraction,
+                spmd_mesh=self.spmd_mesh,
+                dist_axis=self.dist_axis,
             )(y)
         elif self.filter_type == "SFNO":
             # FourCastNetv2 (reference `fourcastnet.py:364-527`): the mixer is
@@ -70,7 +74,10 @@ class AFNOBlock(nn.Module):
             from dlwpbench_tpu.models.sfno import SphericalConv
 
             h, w = y.shape[1], y.shape[2]
-            y = y + SphericalConv(self.dim, nlat=h, nlon=w)(y)
+            y = y + SphericalConv(
+                self.dim, nlat=h, nlon=w,
+                spmd_mesh=self.spmd_mesh, dist_axis=self.dist_axis,
+            )(y)
         elif self.filter_type == "FNO2D":
             # the reference's FNO-mixer variant (`fourcastnet.py:130-153`)
             from dlwpbench_tpu.models.fno import FNOCore
@@ -115,6 +122,8 @@ class FourCastNet(RolloutModel):
     use_pos_embed: bool = True
     n_modes: Sequence[int] = (12, 12)
     mesh: str = "equirectangular"
+    spmd_mesh: Any = None  # jax Mesh: distribute the spectral filters
+    dist_axis: str = "x"
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -138,6 +147,8 @@ class FourCastNet(RolloutModel):
                 hard_thresholding_fraction=self.hard_thresholding_fraction,
                 filter_type=self.filter,
                 n_modes=tuple(self.n_modes),
+                spmd_mesh=self.spmd_mesh,
+                dist_axis=self.dist_axis,
             )(x)
 
         # NOTE: the reference defines a final LayerNorm but never applies it

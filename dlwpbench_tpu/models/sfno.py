@@ -34,7 +34,13 @@ from dlwpbench_tpu.ops.sht import isht, sht, sht_tables
 
 
 class SphericalConv(nn.Module):
-    """Driscoll-Healy spherical convolution: per-degree channel mixing."""
+    """Driscoll-Healy spherical convolution: per-degree channel mixing.
+
+    With `spmd_mesh` set, the SHT pair runs distributed over mesh axis
+    `dist_axis` (`parallel/sht_dist.py`: latitude-sharded fields, m-sharded
+    coefficients) so the model's spectral transforms scale across chips —
+    the per-degree contraction is m-parallel and needs no collective.
+    """
 
     features: int
     nlat: int
@@ -42,6 +48,8 @@ class SphericalConv(nn.Module):
     grid: str = "equiangular"
     lmax: int | None = None
     mmax: int | None = None
+    spmd_mesh: Any = None
+    dist_axis: str = "x"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -53,10 +61,19 @@ class SphericalConv(nn.Module):
             "weight",
             lambda k: scale * jax.random.normal(k, (Cin, self.features, t.lmax, 2)),
         )
-        a = sht(jnp.moveaxis(x, -1, 1), t)  # [B, C, l, m] complex
+        if self.spmd_mesh is not None:
+            from dlwpbench_tpu.parallel.sht_dist import make_dist_sht
+
+            fwd, inv = make_dist_sht(
+                self.spmd_mesh, t, ndim=4, axis_name=self.dist_axis
+            )
+        else:
+            fwd = lambda f: sht(f, t)
+            inv = lambda a: isht(a, t)
+        a = fwd(jnp.moveaxis(x, -1, 1))  # [B, C, l, m] complex
         wc = (w[..., 0] + 1j * w[..., 1]).astype(a.dtype)
         out = jnp.einsum("bilm,iol->bolm", a, wc)
-        y = isht(out, t)  # [B, Cout, H, W]
+        y = inv(out)  # [B, Cout, H, W]
         return jnp.moveaxis(y, 1, -1).astype(x.dtype)
 
 
@@ -81,6 +98,8 @@ class SFNO2DModule(RolloutModel):
     pos_embed: bool = True
     use_mlp: bool = True
     mesh: str = "equirectangular"
+    spmd_mesh: Any = None  # jax Mesh: distribute the SHTs over `dist_axis`
+    dist_axis: str = "x"
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -103,7 +122,8 @@ class SFNO2DModule(RolloutModel):
 
         for _ in range(self.num_layers):
             y = SphericalConv(
-                D, nlat=H, nlon=W, grid=self.grid, lmax=lmax
+                D, nlat=H, nlon=W, grid=self.grid, lmax=lmax,
+                spmd_mesh=self.spmd_mesh, dist_axis=self.dist_axis,
             )(x)
             y = y + nn.Dense(D)(x)  # inner skip
             x = nn.gelu(y)

@@ -125,6 +125,8 @@ class AFNO2DFilter(nn.Module):
     sparsity_threshold: float = 0.01
     hard_thresholding_fraction: float = 1.0
     hidden_size_factor: int = 1
+    spmd_mesh: object = None  # jax Mesh: run over the distributed rFFT2
+    dist_axis: str = "x"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -137,6 +139,18 @@ class AFNO2DFilter(nn.Module):
         b1 = self.param("b1", lambda k: scale * jax.random.normal(k, (2, nb, bf)))
         w2 = self.param("w2", lambda k: scale * jax.random.normal(k, (2, nb, bf, bs)))
         b2 = self.param("b2", lambda k: scale * jax.random.normal(k, (2, nb, bs)))
+
+        if self.spmd_mesh is not None:
+            from dlwpbench_tpu.parallel.spectral_dist import make_dist_afno_filter
+
+            f = make_dist_afno_filter(
+                self.spmd_mesh,
+                ndim=x.ndim,
+                axis_name=self.dist_axis,
+                hard_thresholding_fraction=self.hard_thresholding_fraction,
+                sparsity_threshold=self.sparsity_threshold,
+            )
+            return f(x, w1, b1, w2, b2).astype(x.dtype) + x
 
         bias = x
         dtype = x.dtype

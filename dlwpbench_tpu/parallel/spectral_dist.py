@@ -1,0 +1,181 @@
+"""Distributed spectral mixing layers over the sharded transforms.
+
+The reference runs its spectral models single-GPU (SFNO via torch-harmonics,
+`models/fno/fno.py:149-259`; AFNO inside FourCastNet) and distributes only
+the GraphCast FFT (`models/graphcast/distributed/fft.py`).  Here the model
+layers themselves consume the sharded transforms, so a spectral model's
+spatial fields never need to be gathered on one chip:
+
+- `dist_spherical_conv` — the SFNO Driscoll-Healy mixing step
+  (`models/sfno.py:SphericalConv`) on latitude-sharded fields: distributed
+  SHT (m-sharded coefficients), per-degree channel contraction (the weight
+  is m-independent, so it stays fully replicated and the contraction is
+  embarrassingly parallel over the local m-block), distributed inverse SHT.
+- `dist_afno_filter` — FourCastNet's AFNO block-diagonal MLP filter
+  (`models/fourcastnet.py:AFNO2DFilter`) on latitude-sharded fields over the
+  distributed rFFT2: mode masking is computed per-shard from the global
+  column index so the kept-mode window is identical to the single-device
+  layer.
+
+Both are plain functions to call INSIDE `shard_map` (composable with model
+code that already runs there), plus `make_*` wrappers that close over a
+`Mesh` for standalone use on globally sharded arrays.  Both are
+differentiable end-to-end (see `sht_dist._vma_safe_rfft` for why the
+forward FFTs are routed through complex FFTs).
+
+Platform note: on the axon TPU relay, complex64 arrays fail host->device
+transfer (UNIMPLEMENTED at fetch).  Pass spectral weights as real [.., 2]
+pairs and form the complex view inside jit — the flax modules
+(`SphericalConv`, `AFNO2DFilter`) already do this.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dlwpbench_tpu.ops.sht import SHTTables
+from dlwpbench_tpu.ops.spectral import softshrink
+from dlwpbench_tpu.parallel.fft import dist_irfft2, dist_rfft2
+from dlwpbench_tpu.parallel.sht_dist import dist_isht, dist_sht
+
+
+def dist_spherical_conv(
+    f_local: jax.Array, w: jax.Array, tables: SHTTables, axis_name: str
+) -> jax.Array:
+    """Driscoll-Healy spherical conv on latitude-sharded fields.
+
+    f_local: [..., C, nlat/P, nlon] real; w: [C, Cout, lmax] complex
+    (shared across m — an isotropic spherical convolution).
+    Returns [..., Cout, nlat/P, nlon].
+    """
+    a = dist_sht(f_local, tables, axis_name)  # [..., C, lmax, m_loc]
+    out = jnp.einsum("...ilm,iol->...olm", a, w.astype(a.dtype))
+    return dist_isht(out, tables, axis_name)
+
+
+def dist_afno_filter(
+    x_local: jax.Array,
+    w1: jax.Array,
+    b1: jax.Array,
+    w2: jax.Array,
+    b2: jax.Array,
+    axis_name: str,
+    hard_thresholding_fraction: float = 1.0,
+    sparsity_threshold: float = 0.01,
+) -> jax.Array:
+    """AFNO filter on latitude-sharded fields over the distributed rFFT2.
+
+    x_local: [..., H/P, W, C]; w1/b1/w2/b2 are the block-diagonal MLP
+    parameters with shapes [2, nb, bs, hs], [2, nb, hs], [2, nb, hs, bs],
+    [2, nb, bs] (real/imag stacked on axis 0), matching the single-device
+    `ops/spectral.py:AFNO2DFilter`.  Keeps the same centered kept-mode
+    window; returns the filtered real field, residual NOT included.
+    """
+    H_loc, W, C = x_local.shape[-3], x_local.shape[-2], x_local.shape[-1]
+    p = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    H = H_loc * p
+
+    # channels-last field -> [..., C, H/P, W] for the row-sharded transform.
+    # dist_rfft2 is unnormalized; rescale to "ortho" so coefficient
+    # magnitudes — and therefore the scale-sensitive softshrink — match the
+    # single-device AFNO2DFilter exactly.
+    xm = jnp.moveaxis(x_local, -1, -3)
+    Xf = dist_rfft2(xm, axis_name) * (1.0 / jnp.sqrt(H * W))
+    wf_loc = Xf.shape[-1]
+
+    nb = w1.shape[1]
+    bs = w1.shape[2]
+    assert nb * bs == C, f"block structure {nb}x{bs} != channels {C}"
+
+    # kept-mode mask from GLOBAL indices, matching the single-device layer
+    # (`ops/spectral.py:AFNO2DFilter`): rows in the reference's middle band
+    # [total_h - kept : total_h + kept] and the first `kept` global rFFT
+    # columns — the reference derives BOTH cutoffs from the H-based mode
+    # count (its quirk, reproduced).  The Wf padding tail is masked off.
+    total_h = H // 2 + 1
+    kept = int(total_h * hard_thresholding_fraction)
+    row = jnp.arange(H)
+    row_keep = (row >= total_h - kept) & (row < min(total_h + kept, H))
+    col = idx * wf_loc + jnp.arange(wf_loc)
+    col_keep = col < kept
+    mask = row_keep[:, None] & col_keep[None, :]
+
+    # [..., C, H, wf] -> [..., H, wf, nb, bs]
+    Z = jnp.moveaxis(Xf, -3, -1)
+    Z = Z.reshape(*Z.shape[:-1], nb, bs)
+
+    def cmlp(zr, zi):
+        o1r = jnp.einsum("...ni,nio->...no", zr, w1[0]) - jnp.einsum(
+            "...ni,nio->...no", zi, w1[1]
+        ) + b1[0]
+        o1i = jnp.einsum("...ni,nio->...no", zi, w1[0]) + jnp.einsum(
+            "...ni,nio->...no", zr, w1[1]
+        ) + b1[1]
+        o1r, o1i = jax.nn.relu(o1r), jax.nn.relu(o1i)
+        o2r = jnp.einsum("...no,noi->...ni", o1r, w2[0]) - jnp.einsum(
+            "...no,noi->...ni", o1i, w2[1]
+        ) + b2[0]
+        o2i = jnp.einsum("...no,noi->...ni", o1i, w2[0]) + jnp.einsum(
+            "...no,noi->...ni", o1r, w2[1]
+        ) + b2[1]
+        return o2r, o2i
+
+    yr, yi = cmlp(Z.real, Z.imag)
+    lam = sparsity_threshold
+    y = softshrink(yr, lam) + 1j * softshrink(yi, lam)
+    y = y.reshape(*y.shape[:-2], C)
+    y = jnp.moveaxis(y, -1, -3)  # [..., C, H, wf]
+    y = jnp.where(mask, y, 0.0)
+
+    out = dist_irfft2(y * jnp.sqrt(H * W), axis_name, W)  # undo ortho scale
+    return jnp.moveaxis(out, -3, -1)
+
+
+def make_dist_spherical_conv(
+    mesh: Mesh, tables: SHTTables, ndim: int = 4, axis_name: str = "x"
+):
+    """Standalone wrapper on globally sharded [..., C, nlat, nlon] fields
+    (latitude sharded over `axis_name`; weights replicated)."""
+    from jax import shard_map
+
+    lead = [None] * (ndim - 2)
+    return shard_map(
+        functools.partial(dist_spherical_conv, tables=tables, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(*lead, axis_name, None), P(None, None, None)),
+        out_specs=P(*lead, axis_name, None),
+    )
+
+
+def make_dist_afno_filter(
+    mesh: Mesh,
+    ndim: int = 4,
+    axis_name: str = "x",
+    hard_thresholding_fraction: float = 1.0,
+    sparsity_threshold: float = 0.01,
+):
+    """Standalone wrapper on globally sharded [..., H, W, C] fields."""
+    from jax import shard_map
+
+    lead = [None] * (ndim - 3)
+
+    def fn(x, w1, b1, w2, b2):
+        return dist_afno_filter(
+            x, w1, b1, w2, b2, axis_name,
+            hard_thresholding_fraction, sparsity_threshold,
+        )
+
+    wspec = P(None, None, None, None)
+    bspec = P(None, None, None)
+    return shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(*lead, axis_name, None, None), wspec, bspec, wspec, bspec),
+        out_specs=P(*lead, axis_name, None, None),
+    )

@@ -270,3 +270,157 @@ class TestDistributedGradients:
         xs = jax.device_put(x, NamedSharding(mesh, P("x", None)))
         g2 = np.asarray(jax.jit(jax.grad(loss_dist))(xs))
         np.testing.assert_allclose(g2, g1, rtol=1e-5, atol=1e-5)
+
+
+class TestDistributedSpectralLayers:
+    def test_dist_spherical_conv_matches_single_device(self):
+        """Distributed SFNO mixing layer ≡ single-device SphericalConv math
+        (sht -> per-degree channel contraction -> isht, `models/sfno.py`)."""
+        from dlwpbench_tpu.ops.sht import isht, sht, sht_tables
+        from dlwpbench_tpu.parallel.spectral_dist import make_dist_spherical_conv
+
+        mesh = _mesh_x(4)
+        nlat, nlon, Cin, Cout = 16, 32, 3, 5
+        t = sht_tables(nlat, nlon, grid="equiangular")
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal((2, Cin, nlat, nlon)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((Cin, Cout, t.lmax, 2)) @ np.array([1, 1j]),
+            jnp.complex64,
+        )
+
+        a = sht(x, t)
+        ref = isht(jnp.einsum("bilm,iol->bolm", a, w), t)
+
+        conv = make_dist_spherical_conv(mesh, t, ndim=4)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "x", None)))
+        out = np.asarray(jax.jit(conv)(xs, w))
+        np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+        # differentiable end-to-end (weight gradient parity)
+        gw_ref = jax.grad(
+            lambda wc: jnp.sum(
+                jnp.abs(isht(jnp.einsum("bilm,iol->bolm", sht(x, t), wc), t)) ** 2
+            )
+        )(w)
+        gw = jax.jit(
+            jax.grad(lambda wc: jnp.sum(jnp.abs(conv(xs, wc)) ** 2))
+        )(w)
+        np.testing.assert_allclose(
+            np.asarray(gw), np.asarray(gw_ref), rtol=1e-3, atol=1e-3
+        )
+
+    def test_dist_afno_filter_matches_single_device(self):
+        """Distributed AFNO filter ≡ `ops/spectral.py:AFNO2DFilter` minus its
+        residual, including the kept-mode band and softshrink scaling."""
+        from dlwpbench_tpu.ops.spectral import AFNO2DFilter
+        from dlwpbench_tpu.parallel.spectral_dist import make_dist_afno_filter
+
+        mesh = _mesh_x(4)
+        B, H, W, C = 2, 16, 24, 8
+        layer = AFNO2DFilter(hidden_size=C, num_blocks=4,
+                             hard_thresholding_fraction=0.7)
+        x = jnp.asarray(
+            np.random.default_rng(12).standard_normal((B, H, W, C)), jnp.float32
+        )
+        params = layer.init(jax.random.PRNGKey(0), x)
+        ref = layer.apply(params, x) - x  # single-device filter adds residual
+
+        p = params["params"]
+        f = make_dist_afno_filter(mesh, ndim=4, hard_thresholding_fraction=0.7)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "x", None, None)))
+        out = np.asarray(
+            jax.jit(f)(xs, p["w1"], p["b1"], p["w2"], p["b2"])
+        )
+        np.testing.assert_allclose(out, np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+    def test_sfno_with_distributed_sht_matches_single_device(self):
+        """SFNO2DModule(spmd_mesh=...) runs its spherical convs through the
+        distributed SHT; outputs and parameter gradients must match the
+        single-device model bit-for-tolerance with identical params."""
+        from dlwpbench_tpu.models.sfno import SFNO2DModule
+
+        mesh = _mesh_x(4)
+        kw = dict(
+            constant_channels=0,
+            prescribed_channels=0,
+            prognostic_channels=2,
+            num_layers=1,
+            embed_dim=8,
+            context_size=1,
+            height=16,
+            width=32,
+        )
+        m0 = SFNO2DModule(**kw)
+        m1 = SFNO2DModule(spmd_mesh=mesh, **kw)
+        prog = jnp.asarray(
+            np.random.default_rng(9).standard_normal((2, 3, 2, 16, 32)),
+            jnp.float32,
+        )
+        params = m0.init(jax.random.PRNGKey(0), None, None, prog)
+
+        out0 = np.asarray(m0.apply(params, None, None, prog))
+        ps = jax.device_put(
+            prog, NamedSharding(mesh, P(None, None, None, "x", None))
+        )
+        out1 = np.asarray(jax.jit(
+            lambda p, x: m1.apply(p, None, None, x)
+        )(params, ps))
+        np.testing.assert_allclose(out1, out0, rtol=2e-3, atol=2e-3)
+
+        def loss(m):
+            def f(p, x):
+                return (m.apply(p, None, None, x) ** 2).mean()
+            return f
+
+        g0 = jax.grad(loss(m0))(params, prog)
+        g1 = jax.jit(jax.grad(loss(m1)))(params, ps)
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-8)),
+            g0, g1,
+        )
+        assert max(jax.tree.leaves(diff)) < 5e-3
+
+    def test_fourcastnet_with_distributed_afno_matches_single_device(self):
+        """FourCastNet(spmd_mesh=...) runs its AFNO filters over the
+        distributed rFFT2; rollout and grads must match single-device."""
+        from dlwpbench_tpu.models.fourcastnet import FourCastNet
+
+        mesh = _mesh_x(4)
+        kw = dict(
+            img_height=16,
+            img_width=24,
+            constant_channels=0,
+            prescribed_channels=0,
+            prognostic_channels=2,
+            embed_dim=8,
+            depth=1,
+            num_blocks=4,
+            context_size=1,
+        )
+        m0 = FourCastNet(**kw)
+        m1 = FourCastNet(spmd_mesh=mesh, **kw)
+        prog = jnp.asarray(
+            np.random.default_rng(10).standard_normal((2, 3, 2, 16, 24)),
+            jnp.float32,
+        )
+        params = m0.init(jax.random.PRNGKey(0), None, None, prog)
+        out0 = np.asarray(m0.apply(params, None, None, prog))
+        ps = jax.device_put(
+            prog, NamedSharding(mesh, P(None, None, None, "x", None))
+        )
+        out1 = np.asarray(jax.jit(
+            lambda p, x: m1.apply(p, None, None, x)
+        )(params, ps))
+        np.testing.assert_allclose(out1, out0, rtol=2e-3, atol=2e-3)
+
+        def loss(m):
+            return lambda p, x: (m.apply(p, None, None, x) ** 2).mean()
+
+        g0 = jax.grad(loss(m0))(params, prog)
+        g1 = jax.jit(jax.grad(loss(m1)))(params, ps)
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max() / (jnp.abs(a).max() + 1e-8)),
+            g0, g1,
+        )
+        assert max(jax.tree.leaves(diff)) < 5e-3
