@@ -58,6 +58,8 @@ class GraphCastNet(RolloutModel):
     aggregation: str = "sum"
     context_size: int = 1
     mesh: str = "equirectangular"
+    spmd_mesh: Any = None  # jax Mesh: partition the processor over dist_axis
+    dist_axis: str = "x"
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -102,12 +104,45 @@ class GraphCastNet(RolloutModel):
         grid = grid + mlp()(grid)
 
         # --- processor over the multimesh ---
-        msrc, mdst = jnp.asarray(mesh_g.src), jnp.asarray(mesh_g.dst)
-        for _ in range(self.processor_layers):
-            mesh_e = MeshEdgeBlock(D, D, hl)(mesh_e, mesh_nf, mesh_nf, msrc, mdst)
-            mesh_nf = MeshNodeBlock(D, D, hl, self.aggregation)(
-                mesh_e, mesh_nf, mdst, V
+        if self.spmd_mesh is not None:
+            # Nodewise-partitioned trunk (reference distributes exactly this
+            # part, `distributed_graph.py`): shard_map collectives move only
+            # the boundary src features; the MLPs run on the node-/edge-
+            # sharded arrays via GSPMD.  Same flax modules in the same order
+            # as the single-device branch -> identical parameter trees.
+            if self.aggregation != "sum":
+                raise NotImplementedError(
+                    "partitioned processor supports aggregation='sum' only"
+                )
+            from dlwpbench_tpu.parallel.graphcast_dist import make_processor_ops
+
+            ops = make_processor_ops(
+                self.spmd_mesh, mesh_g.src, mesh_g.dst, V, self.dist_axis
             )
+            plan = ops.plan
+            mesh_nf_p = jnp.pad(
+                mesh_nf, [(0, 0), (0, plan.n_nodes_padded - V), (0, 0)]
+            )
+            mesh_e_p = jnp.take(mesh_e, jnp.asarray(plan.e_perm), axis=1)
+            for _ in range(self.processor_layers):
+                src_f, dst_f = ops.edge_ends(mesh_nf_p)
+                mesh_e_p = MeshEdgeBlock(D, D, hl)(
+                    mesh_e_p, src_f, dst_f, None, None, pregathered=True
+                )
+                agg = ops.aggregate(mesh_e_p)
+                mesh_nf_p = MeshNodeBlock(D, D, hl, self.aggregation)(
+                    agg, mesh_nf_p, None, None, preaggregated=True
+                )
+            mesh_nf = mesh_nf_p[:, :V]
+        else:
+            msrc, mdst = jnp.asarray(mesh_g.src), jnp.asarray(mesh_g.dst)
+            for _ in range(self.processor_layers):
+                mesh_e = MeshEdgeBlock(D, D, hl)(
+                    mesh_e, mesh_nf, mesh_nf, msrc, mdst
+                )
+                mesh_nf = MeshNodeBlock(D, D, hl, self.aggregation)(
+                    mesh_e, mesh_nf, mdst, V
+                )
 
         # --- m2g decoder ---
         m2g_e = mlp()(m2g_e)

@@ -77,16 +77,24 @@ class MeshEdgeBlock(nn.Module):
     activation: Callable = nn.silu
 
     @nn.compact
-    def __call__(self, efeat, src_nfeat, dst_nfeat, src, dst):
-        """efeat [..., E, Fe]; {src,dst}_nfeat [..., N, Fn]; src/dst [E]."""
-        cat = jnp.concatenate(
-            [
-                efeat,
-                jnp.take(src_nfeat, src, axis=-2),
-                jnp.take(dst_nfeat, dst, axis=-2),
-            ],
-            axis=-1,
-        )
+    def __call__(self, efeat, src_nfeat, dst_nfeat, src, dst, pregathered=False):
+        """efeat [..., E, Fe]; {src,dst}_nfeat [..., N, Fn]; src/dst [E].
+
+        `pregathered=True`: {src,dst}_nfeat are already per-edge [..., E, Fn]
+        (the partitioned processor gathers them with shard_map collectives,
+        `parallel/graphcast_dist.py`) and src/dst are ignored.
+        """
+        if pregathered:
+            cat = jnp.concatenate([efeat, src_nfeat, dst_nfeat], axis=-1)
+        else:
+            cat = jnp.concatenate(
+                [
+                    efeat,
+                    jnp.take(src_nfeat, src, axis=-2),
+                    jnp.take(dst_nfeat, dst, axis=-2),
+                ],
+                axis=-1,
+            )
         mlp = MeshGraphMLP(
             self.output_dim, self.hidden_dim, self.hidden_layers,
             activation=self.activation,
@@ -102,8 +110,13 @@ class MeshNodeBlock(nn.Module):
     activation: Callable = nn.silu
 
     @nn.compact
-    def __call__(self, efeat, nfeat, dst, n_nodes):
-        agg = aggregate(efeat, dst, n_nodes, self.aggregation)
+    def __call__(self, efeat, nfeat, dst, n_nodes, preaggregated=False):
+        """`preaggregated=True`: efeat is already the per-node aggregation
+        [..., N, F] (partitioned path) and dst/n_nodes are ignored."""
+        if preaggregated:
+            agg = efeat
+        else:
+            agg = aggregate(efeat, dst, n_nodes, self.aggregation)
         cat = jnp.concatenate([agg, nfeat], axis=-1)
         mlp = MeshGraphMLP(
             self.output_dim, self.hidden_dim, self.hidden_layers,

@@ -1,0 +1,144 @@
+"""Partitioned GraphCast processor: the multimesh trunk over a device mesh.
+
+Reference: `models/graphcast/gnn_layers/distributed_graph.py` +
+`distributed/utils.py:233-656` — nodewise graph partition with NCCL
+variable-size all-to-alls around every processor layer.
+
+TPU design: the partition plan (`graph_partition.partition_graph_nodewise`)
+is static numpy; only the three index-space ops live inside `shard_map`
+(padded-bucket `lax.all_to_all` + gathers + masked `segment_sum`), while the
+per-layer MLPs run OUTSIDE on the globally node-/edge-sharded arrays — GSPMD
+keeps them communication-free (weights replicated, leading dim sharded).
+That split keeps flax parameter trees identical between the single-device
+and partitioned models, so the same checkpoint runs either way.
+
+Layout (P shards over `axis_name`):
+- node features  [B, P*chunk, D]  (last rank's tail is padding)
+- edge features  [B, P*Emax,  D]  (per-rank owned edges, dst-nodewise,
+  padded; `plan.e_perm` maps global edge ids into this layout)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from dlwpbench_tpu.parallel.graph_partition import (
+    GraphPartition,
+    partition_graph_nodewise,
+)
+
+
+class ProcessorPlan(NamedTuple):
+    part: GraphPartition
+    e_perm: np.ndarray  # [P*Emax] global edge ids feeding each rank-slot
+    n_nodes: int
+    n_nodes_padded: int  # P * chunk
+    n_edges_padded: int  # P * Emax
+
+
+class ProcessorOps(NamedTuple):
+    plan: ProcessorPlan
+    edge_ends: Callable  # nodes [B, P*chunk, D] -> (src_f, dst_f) [B, P*Emax, D]
+    aggregate: Callable  # msgs [B, P*Emax, D] -> agg [B, P*chunk, D]
+
+
+def build_processor_plan(
+    src: np.ndarray, dst: np.ndarray, n_nodes: int, n_parts: int
+) -> ProcessorPlan:
+    part = partition_graph_nodewise(src, dst, n_nodes, n_nodes, n_parts)
+    dst = np.asarray(dst, np.int64)
+    e_perm = np.zeros((n_parts, part.n_edges_max), np.int64)
+    for r in range(n_parts):
+        # must match partition_graph_nodewise's per-rank edge order
+        e_ids = np.nonzero((dst // part.dst_chunk) == r)[0]
+        e_perm[r, : len(e_ids)] = e_ids
+    return ProcessorPlan(
+        part=part,
+        e_perm=e_perm.reshape(-1),
+        n_nodes=n_nodes,
+        n_nodes_padded=n_parts * part.dst_chunk,
+        n_edges_padded=n_parts * part.n_edges_max,
+    )
+
+
+def _gather_src_batched(
+    part: GraphPartition, nf_local: jax.Array, axis_name: str
+) -> jax.Array:
+    """[..., chunk, F] local nodes -> [..., chunk + P*Smax, F] address space
+    (own chunk || per-sender received buckets), batched version of
+    `graph_partition.gather_src_features`."""
+    p = part.n_parts
+    r = lax.axis_index(axis_name)
+    send_idx = jnp.asarray(part.send_idx)[r]  # [P, Smax]
+    send_mask = jnp.asarray(part.send_mask)[r][..., None]  # [P, Smax, 1]
+    out = jnp.take(nf_local, send_idx.reshape(-1), axis=-2)
+    out = out.reshape(*nf_local.shape[:-2], p, part.s_max, nf_local.shape[-1])
+    out = out * send_mask
+    bucket_ax = out.ndim - 3
+    recv = lax.all_to_all(
+        out, axis_name, split_axis=bucket_ax, concat_axis=bucket_ax, tiled=True
+    )
+    recv = recv.reshape(
+        *nf_local.shape[:-2], p * part.s_max, nf_local.shape[-1]
+    )
+    return jnp.concatenate([nf_local, recv], axis=-2)
+
+
+def _edge_ends_local(part: GraphPartition, nf_local: jax.Array, axis_name: str):
+    r = lax.axis_index(axis_name)
+    addr = _gather_src_batched(part, nf_local, axis_name)
+    e_src = jnp.asarray(part.edge_src_local)[r]
+    e_dst = jnp.asarray(part.edge_dst_local)[r]
+    src_f = jnp.take(addr, e_src, axis=-2)
+    dst_f = jnp.take(nf_local, e_dst, axis=-2)
+    return src_f, dst_f
+
+
+def _aggregate_local(part: GraphPartition, msgs_local: jax.Array, axis_name: str):
+    r = lax.axis_index(axis_name)
+    e_dst = jnp.asarray(part.edge_dst_local)[r]
+    e_mask = jnp.asarray(part.edge_mask)[r][..., None]
+    masked = msgs_local * e_mask
+    seg = lambda m: jax.ops.segment_sum(m, e_dst, num_segments=part.dst_chunk)
+    for _ in range(masked.ndim - 2):
+        seg = jax.vmap(seg)
+    return seg(masked)
+
+
+def make_processor_ops(
+    mesh: Mesh,
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_nodes: int,
+    axis_name: str = "x",
+    batch_dims: int = 1,
+) -> ProcessorOps:
+    """Build the shard_map-wrapped index ops for one homogeneous graph."""
+    from jax import shard_map
+
+    n_parts = mesh.shape[axis_name]
+    plan = build_processor_plan(src, dst, n_nodes, n_parts)
+    part = plan.part
+    lead = [None] * batch_dims
+    spec = P(*lead, axis_name, None)
+
+    edge_ends = shard_map(
+        functools.partial(_edge_ends_local, part, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=spec,
+        out_specs=(spec, spec),
+    )
+    aggregate = shard_map(
+        functools.partial(_aggregate_local, part, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=spec,
+        out_specs=spec,
+    )
+    return ProcessorOps(plan=plan, edge_ends=edge_ends, aggregate=aggregate)
