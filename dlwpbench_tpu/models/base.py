@@ -86,6 +86,21 @@ class RolloutModel(nn.Module):
         """Optional recurrent state (e.g. ConvLSTM h/c), reset per sequence."""
         return None
 
+    def precompute(self) -> Any:
+        """Per-rollout constants computed ONCE outside the scan.
+
+        `lax.scan` does not hoist loop-invariant work whose results are
+        large (XLA's LICM declines on memory growth), so anything derived
+        from params alone — e.g. Swin/Pangu attention biases expanded from
+        their position tables — must be hoisted manually or it is recomputed
+        every rollout step.  Implementations may only READ params declared in
+        `setup()` (this runs outside the compact context); the result is
+        closed over by the scan body and becomes a scan constant.  Return
+        None (default) for models with nothing to hoist; otherwise `step`
+        receives it as a third argument.
+        """
+        return None
+
     def __call__(
         self,
         constants: Optional[jax.Array] = None,
@@ -112,6 +127,7 @@ class RolloutModel(nn.Module):
 
         window0 = prog[:, :ctx]
         state0 = self.init_state(window0[:, 0].shape)
+        aux = self.precompute()
 
         def body(module: "RolloutModel", carry, xs_t):
             window, state = carry
@@ -122,7 +138,10 @@ class RolloutModel(nn.Module):
                 parts.append(_flatten_window(xs_t))
             parts.append(_flatten_window(window))
             x_t = jnp.concatenate(parts, axis=-1)
-            delta, state = module.step(x_t, state)
+            if aux is None:
+                delta, state = module.step(x_t, state)
+            else:
+                delta, state = module.step(x_t, state, aux)
             out = window[:, -1] + delta  # residual prediction (unet.py:196)
             window = jnp.concatenate([window[:, 1:], out[:, None]], axis=1)
             return (window, state), out

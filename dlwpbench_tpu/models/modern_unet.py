@@ -201,7 +201,26 @@ class AttentionBlock(nn.Module):
 
 
 class ModernUNetCore(nn.Module):
-    """Shared encoder/middle/decoder trunk (time-conditioned when emb given)."""
+    """Shared encoder/middle/decoder trunk (time-conditioned when emb given).
+
+    `variant` selects the exact block wiring:
+
+    - "upstream": our default — the coherent PDE-Refiner design (stem conv,
+      geo-padded strided downsample, skip-concat at every decoder level).
+    - "reference": the reference `MUNetHPX` exactly as it executes
+      (`unet.py:559-757`): plain zero-padded 3x3 s2 downsample convs, NO
+      decoder skip concatenation (the reference's skip branch is dead code on
+      the HEALPix path — `isinstance(submodule, ResidualBlock)` is False for
+      `HEALPixLayer`-wrapped blocks, `unet.py:746-752`), TWO residual blocks
+      per decoder level with c_out2 = 2*next_hidden, encoder/decoder blocks
+      always norm-free (only MiddleBlock receives `norm`), final
+      GroupNorm(8, 2*hidden[0]).
+    - "diffusion": the diffusion file's design
+      (`models/diffusion_models/modern_unet/modern_unet.py:328-507`): no stem
+      conv, plain zero-padded downsample, skip-concat at every decoder level
+      EXCEPT the bottom, one residual block per level, ConvTranspose k4 s2 p1
+      to next hidden, final GroupNorm(4, hidden[0]).
+    """
 
     hidden_channels: Sequence[int]
     out_channels: int
@@ -212,65 +231,112 @@ class ModernUNetCore(nn.Module):
     use_scale_shift_norm: bool = False
     use_fourier: bool = False
     fourier_modes: int = 16
+    variant: str = "upstream"
+
+    def _plain_conv(self, x, feat, k, s):
+        """torch-style zero-padded conv (p=(k-1)//2) on folded faces."""
+        from dlwpbench_tpu.ops.conv import fold_faces, unfold_faces
+
+        p = (k - 1) // 2
+        conv = nn.Conv(feat, (k, k), strides=(s, s), padding=((p, p), (p, p)))
+        if self.mesh == "healpix":
+            return unfold_faces(conv(fold_faces(x)))
+        return conv(x)
+
+    def _up4(self, x, feat):
+        """torch ConvTranspose2d(k4, s2, p1): VALID transpose then crop 1."""
+        from dlwpbench_tpu.ops.conv import fold_faces, unfold_faces
+
+        up = nn.ConvTranspose(feat, (4, 4), strides=(2, 2), padding="VALID")
+        if self.mesh == "healpix":
+            y = unfold_faces(up(fold_faces(x)))
+        else:
+            y = up(x)
+        return y[..., 1:-1, 1:-1, :]
 
     @nn.compact
     def __call__(self, x, emb: Optional[jax.Array] = None):
         act = get_activation(self.activation)
         hc = list(self.hidden_channels)
+        variant = self.variant
+        blk_norm = self.norm if variant == "upstream" else False
         skips = []
         # encoder
         for lvl, ch in enumerate(hc):
             if lvl == 0:
-                x = GeoConv(x.shape[-1], 1, mesh=self.mesh)(x)
-            else:
+                if variant != "diffusion":
+                    x = GeoConv(x.shape[-1], 1, mesh=self.mesh)(x)
+            elif variant == "upstream":
                 x = GeoConv(x.shape[-1], 3, mesh=self.mesh, strides=2)(x)
+            else:
+                # reference downsample is a plain zero-padded conv
+                # (`unet.py:583`, outside the HEALPixLayer wrapper)
+                x = self._plain_conv(x, x.shape[-1], 3, 2)
             if self.use_fourier and self.mesh == "equirectangular" and lvl == 0:
                 x = FourierResidualBlock(
                     ch, self.fourier_modes, self.fourier_modes,
-                    activation=self.activation, norm=self.norm,
+                    activation=self.activation, norm=blk_norm,
                 )(x, emb)
             else:
                 x = ResidualBlock(
-                    ch, self.activation, self.norm, mesh=self.mesh,
+                    ch, self.activation, blk_norm, mesh=self.mesh,
                     use_scale_shift_norm=self.use_scale_shift_norm,
                 )(x, emb)
             skips.append(x)
 
         # middle: res (+attn) res
+        mid_groups = 4 if variant == "diffusion" else 1
         x = ResidualBlock(
-            hc[-1], self.activation, self.norm, mesh=self.mesh,
+            hc[-1], self.activation, self.norm, mid_groups, mesh=self.mesh,
             use_scale_shift_norm=self.use_scale_shift_norm,
         )(x, emb)
         if self.attention:
             x = AttentionBlock(hc[-1])(x)
         x = ResidualBlock(
-            hc[-1], self.activation, self.norm, mesh=self.mesh,
+            hc[-1], self.activation, self.norm, mid_groups, mesh=self.mesh,
             use_scale_shift_norm=self.use_scale_shift_norm,
         )(x, emb)
 
         # decoder
         rev = hc[::-1]
         for i, ch in enumerate(rev):
-            skip = skips[len(hc) - 1 - i]
-            x = jnp.concatenate([skip, x], axis=-1)
+            if variant == "upstream":
+                skip = skips[len(hc) - 1 - i]
+                x = jnp.concatenate([skip, x], axis=-1)
+            elif variant == "diffusion" and i > 0:
+                skip = skips[len(hc) - 1 - i]
+                x = jnp.concatenate([skip, x], axis=-1)
             x = ResidualBlock(
-                ch, self.activation, self.norm, mesh=self.mesh,
+                ch, self.activation, blk_norm, mesh=self.mesh,
                 use_scale_shift_norm=self.use_scale_shift_norm,
             )(x, emb)
-            if i < len(rev) - 1:
-                # torch ConvTranspose2d(k4, s2, p1) == exact 2x upsample;
-                # flax's "SAME" gives the same out = 2*in geometry.
-                up = nn.ConvTranspose(
-                    rev[i + 1], (4, 4), strides=(2, 2), padding="SAME"
-                )
-                if self.mesh == "healpix":
-                    from dlwpbench_tpu.ops.conv import fold_faces, unfold_faces
-
-                    x = unfold_faces(up(fold_faces(x)))
+            if variant == "reference":
+                c_out2 = 2 * (rev[i + 1] if i + 1 < len(rev) else rev[i])
+                x = ResidualBlock(
+                    c_out2, self.activation, blk_norm, mesh=self.mesh,
+                    use_scale_shift_norm=self.use_scale_shift_norm,
+                )(x, emb)
+                if i < len(rev) - 1:
+                    x = self._up4(x, c_out2)
+            elif i < len(rev) - 1:
+                if variant == "diffusion":
+                    x = self._up4(x, rev[i + 1])
                 else:
-                    x = up(x)
+                    # flax "SAME" ConvTranspose: same out = 2*in geometry
+                    up = nn.ConvTranspose(
+                        rev[i + 1], (4, 4), strides=(2, 2), padding="SAME"
+                    )
+                    if self.mesh == "healpix":
+                        from dlwpbench_tpu.ops.conv import (
+                            fold_faces,
+                            unfold_faces,
+                        )
 
-        x = GroupNormCL(8)(x)
+                        x = unfold_faces(up(fold_faces(x)))
+                    else:
+                        x = up(x)
+
+        x = GroupNormCL(4 if variant == "diffusion" else 8)(x)
         x = act(x)
         return ZeroConv(self.out_channels, 1, mesh=self.mesh)(x)
 
@@ -289,6 +355,9 @@ class ModernUNet(RolloutModel):
     attention: bool = False
     norm: bool = False
     use_fourier: bool = False
+    # "upstream" (our default design) or "reference" (the as-executed
+    # reference MUNetHPX wiring — see ModernUNetCore docstring)
+    variant: str = "upstream"
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -300,6 +369,7 @@ class ModernUNet(RolloutModel):
             attention=self.attention,
             mesh=self.mesh,
             use_fourier=self.use_fourier,
+            variant=self.variant,
         )(x)
         return out, state
 
@@ -331,6 +401,9 @@ class DiffModernUNet(nn.Module):
     use_scale_shift_norm: bool = True
     num_refinement_step: int = 5
     min_noise_std: float = 4e-4
+    # "diffusion" matches the reference diffusion file exactly
+    # (`modern_unet.py:328-507`); "upstream" uses our default core wiring.
+    variant: str = "diffusion"
 
     def setup(self):
         d = self.hidden_channels[0]
@@ -344,6 +417,7 @@ class DiffModernUNet(nn.Module):
             attention=self.attention,
             mesh=self.mesh,
             use_scale_shift_norm=self.use_scale_shift_norm,
+            variant=self.variant,
         )
 
     def _time_embed(self, k: jax.Array) -> jax.Array:

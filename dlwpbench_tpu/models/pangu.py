@@ -120,45 +120,89 @@ def shift_window_mask(pad_resolution, window_size, shift_size) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _flash_block_pangu(n: int, cap: int = 256) -> int:
+    """Largest divisor of n that is <= cap and a multiple of 8 (0 if none)."""
+    best = 0
+    for b in range(8, min(n, cap) + 1, 8):
+        if n % b == 0:
+            best = b
+    return best
+
+
 class EarthAttention3D(nn.Module):
+    """Earth-specific window attention consuming a PRECOMPUTED bias.
+
+    `bias` is [nh, tow, N, N] — the earth-position bias table expanded by
+    `PanguWeather.precompute` ONCE per rollout (the reference gathers it per
+    call, `panguweather.py:158-166`; under the `lax.scan` rollout that would
+    redo the [N*N]-row gather for all 16 blocks every step).
+    """
+
     dim: int
     pad_resolution: tuple[int, int, int]
     window_size: tuple[int, int, int]
     num_heads: int
     qkv_bias: bool = True
+    use_flash: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
+    def __call__(
+        self,
+        x: jax.Array,
+        bias: jax.Array,
+        mask: Optional[jax.Array] = None,
+    ):
         B_, nW, N, C = x.shape
-        wpl, wlat, wlon = self.window_size
-        tow = (self.pad_resolution[0] // wpl) * (self.pad_resolution[1] // wlat)
         nh = self.num_heads
         hd = C // nh
         scale = hd**-0.5
 
-        table = self.param(
-            "earth_position_bias_table",
-            trunc_normal_init(),
-            ((wpl**2) * (wlat**2) * (2 * wlon - 1), tow, nh),
-        )
-        idx = jnp.asarray(earth_position_index(self.window_size))
-        bias = table[idx.reshape(-1)].reshape(N, N, tow, nh)
-        bias = bias.transpose(3, 2, 0, 1)  # [nh, tow, N, N]
-
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=trunc_normal_init())(x)
         qkv = qkv.reshape(B_, nW, N, 3, nh, hd).transpose(3, 0, 4, 1, 2, 5)
-        q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [B_, nh, nW, N, hd]
 
-        attn = jnp.einsum("bhwnd,bhwmd->bhwnm", q, k) + bias[None]
-        if mask is not None:
-            nLon = mask.shape[0]
-            attn = attn.reshape(B_ // nLon, nLon, nh, nW, N, N)
-            attn = attn + mask[None, :, None]
-            attn = attn.reshape(B_, nh, nW, N, N)
-        attn = jax.nn.softmax(attn, axis=-1)
-        out = jnp.einsum("bhwnm,bhwmd->bhwnd", attn, v)
+        blk = _flash_block_pangu(N)
+        flash = self.use_flash if self.use_flash is not None else N >= 4096
+        if flash and blk and hd % 8 == 0:
+            # Pallas fused path. Batch layout b = ((sample*nLon)+lon)*nW + w,
+            # so a grouped bias [G, nh, N, N] with G = (nLon if masked else 1)
+            # * nW is selected as group = b % G inside the kernel.
+            from dlwpbench_tpu.ops.pallas_attention import flash_window_attention
+
+            q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, nh, nW, N, hd]
+            q = q.transpose(0, 2, 1, 3, 4).reshape(B_ * nW, nh, N, hd)
+            k = k.transpose(0, 2, 1, 3, 4).reshape(B_ * nW, nh, N, hd)
+            v = v.transpose(0, 2, 1, 3, 4).reshape(B_ * nW, nh, N, hd)
+            gb = bias.transpose(1, 0, 2, 3)  # [tow=nW, nh, N, N]
+            if mask is not None:
+                nLon = mask.shape[0]
+                gb = gb[None] + mask[:, :, None]  # [nLon, nW, nh, N, N]
+                gb = gb.reshape(nLon * nW, nh, N, N)
+            out = flash_window_attention(q, k, v, gb, block_q=blk, block_k=blk)
+            out = out.reshape(B_, nW, nh, N, hd).transpose(0, 2, 1, 3, 4)
+        else:
+            q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [B_, nh, nW, N, hd]
+            attn = jnp.einsum("bhwnd,bhwmd->bhwnm", q, k) + bias[None]
+            if mask is not None:
+                nLon = mask.shape[0]
+                attn = attn.reshape(B_ // nLon, nLon, nh, nW, N, N)
+                attn = attn + mask[None, :, None]
+                attn = attn.reshape(B_, nh, nW, N, N)
+            attn = jax.nn.softmax(attn, axis=-1)
+            out = jnp.einsum("bhwnm,bhwmd->bhwnd", attn, v)
         out = out.transpose(0, 2, 3, 1, 4).reshape(B_, nW, N, C)
         return nn.Dense(C, kernel_init=trunc_normal_init())(out)
+
+
+def expand_earth_bias(
+    table: jax.Array, window_size: tuple[int, int, int]
+) -> jax.Array:
+    """[(wpl^2*wlat^2*(2wlon-1)), tow, nh] table -> [nh, tow, N, N]."""
+    wpl, wlat, wlon = window_size
+    N = wpl * wlat * wlon
+    idx = jnp.asarray(earth_position_index(window_size))
+    tow, nh = table.shape[1], table.shape[2]
+    bias = table[idx.reshape(-1)].reshape(N, N, tow, nh)
+    return bias.transpose(3, 2, 0, 1)
 
 
 class EarthSpecificBlock(nn.Module):
@@ -172,9 +216,10 @@ class EarthSpecificBlock(nn.Module):
     # shift_lat instead of shift_lon, `panguweather.py:292`) for parity
     # testing; default False = self-consistent shifts.
     reference_roll_quirk: bool = False
+    use_flash: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array):
+    def __call__(self, x: jax.Array, bias: jax.Array):
         Pl, Lat, Lon = self.input_resolution
         B, L, C = x.shape
         win = self.window_size
@@ -200,8 +245,8 @@ class EarthSpecificBlock(nn.Module):
 
         wins = window_partition_3d(x, win)
         wins = EarthAttention3D(
-            self.dim, pad_res, win, self.num_heads
-        )(wins, mask)
+            self.dim, pad_res, win, self.num_heads, use_flash=self.use_flash
+        )(wins, bias, mask)
         wins = wins.reshape(wins.shape[0], wins.shape[1], *win, C)
         x = window_reverse_3d(
             wins.reshape(wins.shape[0], wins.shape[1], -1, C), win, *pad_res
@@ -277,7 +322,12 @@ class UpSample(nn.Module):
 
 
 class PanguWeather(RolloutModel):
-    """Reference `PanguWeather` (config `type: PanguWeather`)."""
+    """Reference `PanguWeather` (config `type: PanguWeather`).
+
+    The per-block earth-position bias tables are declared in `setup()` so
+    `precompute()` can expand them ([N*N]-row gather + transpose) ONCE per
+    rollout instead of inside every scan step (see `RolloutModel.precompute`).
+    """
 
     name: str = "pangu"
     constant_channels: int = 4
@@ -292,9 +342,59 @@ class PanguWeather(RolloutModel):
     context_size: int = 1
     mesh: str = "equirectangular"
     reference_roll_quirk: bool = False
+    # None = auto (einsum at the small window size); True/False forces.
+    use_flash_attention: Optional[bool] = None
+
+    def _block_plan(self):
+        """Static per-block geometry for the 2-6-6-2 layer plan."""
+        ph, pw = self.patch_size
+        Lat = -(-self.n_lat // ph)
+        Lon = -(-self.n_lon // pw)
+        res1 = (1, Lat, Lon)
+        res2 = (1, (Lat + 1) // 2, (Lon + 1) // 2)
+        win = tuple(self.window_size)
+        plan = []
+        for res, depth, heads in (
+            (res1, 2, self.num_heads[0]),
+            (res2, 6, self.num_heads[1]),
+            (res2, 6, self.num_heads[2]),
+            (res1, 2, self.num_heads[3]),
+        ):
+            pads = _pad3d_amounts(res, win)
+            pad_res = tuple(r + lo + hi for r, (lo, hi) in zip(res, pads))
+            tow = (pad_res[0] // win[0]) * (pad_res[1] // win[1])
+            for i in range(depth):
+                plan.append(
+                    dict(res=res, pad_res=pad_res, tow=tow, heads=heads,
+                         shift=(i % 2 == 1))
+                )
+        return plan
+
+    def setup(self):
+        win = tuple(self.window_size)
+        wpl, wlat, wlon = win
+        tables = []
+        for b, blk in enumerate(self._block_plan()):
+            tables.append(
+                self.param(
+                    f"earth_position_bias_table_{b}",
+                    trunc_normal_init(),
+                    ((wpl**2) * (wlat**2) * (2 * wlon - 1), blk["tow"],
+                     blk["heads"]),
+                )
+            )
+        self.bias_tables = tables
+
+    def precompute(self):
+        win = tuple(self.window_size)
+        return [
+            expand_earth_bias(t, win) for t in self.bias_tables
+        ]
 
     @nn.compact
-    def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
+    def step(self, x: jax.Array, state: Any, aux=None) -> tuple[jax.Array, Any]:
+        if aux is None:
+            aux = self.precompute()
         B, H, W, Cin = x.shape
         ph, pw = self.patch_size
         D = self.embed_dim
@@ -318,12 +418,16 @@ class PanguWeather(RolloutModel):
         res2 = (1, (Lat + 1) // 2, (Lon + 1) // 2)
         x = x.reshape(B, Lat * Lon, D)
 
+        block_idx = [0]
+
         def layer(x, dim, res, depth, heads):
             for i in range(depth):
                 x = EarthSpecificBlock(
                     dim, res, heads, win, shift=(i % 2 == 1),
                     reference_roll_quirk=self.reference_roll_quirk,
-                )(x)
+                    use_flash=self.use_flash_attention,
+                )(x, aux[block_idx[0]])
+                block_idx[0] += 1
             return x
 
         x = layer(x, D, res1, 2, self.num_heads[0])

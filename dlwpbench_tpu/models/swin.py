@@ -93,66 +93,68 @@ def _flash_block(n: int, cap: int = 256) -> int:
 
 
 class WindowAttention(nn.Module):
+    """Window attention consuming a PRECOMPUTED bias.
+
+    `bias` is [nh, N, N] or [G, nh, N, N] (per-window, selected as
+    b % G) with the relative-position bias and any shift mask already
+    folded in — expanded once per rollout by `SwinTransformer.precompute`
+    (reference recomputes it per call, `swin_transformer.py:115-126`; under
+    a `lax.scan` rollout that would rebuild ~50 MB per block per step).
+    """
+
     dim: int
     window: tuple[int, int]
     num_heads: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
-    use_flash: bool = False
+    use_flash: Optional[bool] = None  # None = auto (flash for large N)
 
     @nn.compact
-    def __call__(self, x: jax.Array, mask: Optional[jax.Array] = None):
-        # x: [B_, N, C]; mask: [nW, N, N] or None
+    def __call__(self, x: jax.Array, bias: jax.Array):
+        # x: [B_, N, C]
         B_, N, C = x.shape
-        wh, ww = self.window
         nh = self.num_heads
         hd = C // nh
         scale = self.qk_scale or hd**-0.5
-
-        bias_table = self.param(
-            "relative_position_bias_table",
-            trunc_normal_init(),
-            ((2 * wh - 1) * (2 * ww - 1), nh),
-        )
-        # Expand the table to [nh, N, N] via two structured gathers instead of
-        # one 4.2M-element 3-wide random gather (which costs ~10ms on TPU at
-        # global-window sizes): a small x-offset gather then a y-offset gather
-        # whose rows are large and contiguous.
-        T = bias_table.reshape(2 * wh - 1, 2 * ww - 1, nh)
-        dx = jnp.asarray(
-            (np.arange(ww)[:, None] - np.arange(ww)[None, :]) + ww - 1
-        )
-        T2 = jnp.take(T, dx.reshape(-1), axis=1).reshape(
-            2 * wh - 1, ww, ww, nh
-        )
-        dy = jnp.asarray(
-            (np.arange(wh)[:, None] - np.arange(wh)[None, :]) + wh - 1
-        )
-        B4 = jnp.take(T2, dy.reshape(-1), axis=0).reshape(wh, wh, ww, ww, nh)
-        rel_bias = B4.transpose(4, 0, 2, 1, 3).reshape(nh, N, N)
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=trunc_normal_init())(x)
         qkv = qkv.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, nh, N, hd]
 
-        nW = 1 if mask is None else mask.shape[0]
         blk = _flash_block(N)
-        if self.use_flash and nW == 1 and blk and hd % 8 == 0:
-            # Pallas fused path: fold the (single-window) shift mask into the
-            # per-head bias; qk scale handled inside the kernel.
+        flash = (
+            self.use_flash if self.use_flash is not None else N >= 4096
+        )
+        if flash and blk and hd % 8 == 0:
             from dlwpbench_tpu.ops.pallas_attention import flash_window_attention
 
-            bias = rel_bias if mask is None else rel_bias + mask[0][None]
             out = flash_window_attention(q, k, v, bias, block_q=blk, block_k=blk)
         else:
-            attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k) + rel_bias[None]
-            if mask is not None:
-                attn = attn.reshape(B_ // nW, nW, nh, N, N) + mask[None, :, None]
+            if bias.ndim == 3:
+                attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k) + bias[None]
+            else:
+                G = bias.shape[0]
+                attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k)
+                attn = attn.reshape(B_ // G, G, nh, N, N) + bias[None]
                 attn = attn.reshape(B_, nh, N, N)
             attn = jax.nn.softmax(attn, axis=-1)
             out = jnp.einsum("bhnm,bhmd->bhnd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
         return nn.Dense(C, kernel_init=trunc_normal_init())(out)
+
+
+def expand_relative_bias(table: jax.Array, wh: int, ww: int) -> jax.Array:
+    """[(2wh-1)*(2ww-1), nh] bias table -> [nh, N, N] via two structured
+    gathers (a small x-offset gather then a y-offset gather with large
+    contiguous rows) instead of one [N*N]-row random gather."""
+    nh = table.shape[-1]
+    N = wh * ww
+    T = table.reshape(2 * wh - 1, 2 * ww - 1, nh)
+    dx = jnp.asarray((np.arange(ww)[:, None] - np.arange(ww)[None, :]) + ww - 1)
+    T2 = jnp.take(T, dx.reshape(-1), axis=1).reshape(2 * wh - 1, ww, ww, nh)
+    dy = jnp.asarray((np.arange(wh)[:, None] - np.arange(wh)[None, :]) + wh - 1)
+    B4 = jnp.take(T2, dy.reshape(-1), axis=0).reshape(wh, wh, ww, ww, nh)
+    return B4.transpose(4, 0, 2, 1, 3).reshape(nh, N, N)
 
 
 class SwinBlock(nn.Module):
@@ -163,11 +165,11 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     mesh: str = "equirectangular"
-    use_flash: bool = False
+    use_flash: Optional[bool] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, H: int, W: int):
-        # x: [B, H*W, C]
+    def __call__(self, x: jax.Array, H: int, W: int, bias: jax.Array):
+        # x: [B, H*W, C]; bias: precomputed [nh, N, N] or [nW, nh, N, N]
         B, L, C = x.shape
         wh, ww = self.window
         sh, sw = self.shift
@@ -188,15 +190,12 @@ class SwinBlock(nn.Module):
 
         if sh or sw:
             x = jnp.roll(x, (-sh, -sw), axis=(1, 2))
-            mask = jnp.asarray(shift_attn_mask(Hp, Wp, wh, ww, sh, sw))
-        else:
-            mask = None
 
         win = window_partition(x, wh, ww)
         win = WindowAttention(
             self.dim, (wh, ww), self.num_heads, self.qkv_bias,
             use_flash=self.use_flash,
-        )(win, mask)
+        )(win, bias)
         x = window_reverse(win, wh, ww, Hp, Wp)
 
         if sh or sw:
@@ -225,7 +224,14 @@ class PatchMerging(nn.Module):
 
 
 class SwinTransformer(RolloutModel):
-    """Reference `SwinTransformer` (config `type: SwinTransformer`)."""
+    """Reference `SwinTransformer` (config `type: SwinTransformer`).
+
+    The relative-position bias tables are declared in `setup()` (not inside
+    the per-step compact pass) so `precompute()` can expand them to dense
+    [nh, N, N] biases ONCE per rollout; under the `lax.scan` rollout XLA
+    does not hoist that (large) loop-invariant work itself, and rebuilding
+    the biases every step dominated the step time at global-window sizes.
+    """
 
     name: str = "swin"
     img_height: int = 32
@@ -243,7 +249,9 @@ class SwinTransformer(RolloutModel):
     patch_norm: bool = True
     context_size: int = 1
     mesh: str = "equirectangular"
-    use_flash_attention: bool = False
+    # None = auto (Pallas flash kernel only where it wins: large windows);
+    # True/False forces the path.
+    use_flash_attention: Optional[bool] = None
 
     def _grid_hw(self) -> tuple[int, int]:
         if self.mesh == "healpix":
@@ -251,8 +259,61 @@ class SwinTransformer(RolloutModel):
             return 3 * self.img_height, 4 * self.img_width
         return self.img_height, self.img_width
 
+    def _stage_plan(self):
+        """Static per-stage geometry (mirrors the step-time evolution)."""
+        H0, W0 = self._grid_hw()
+        p = self.patch_size
+        H = -(-H0 // p)
+        W = -(-W0 // p)
+        res_h, res_w = H, W
+        plan = []
+        for i in range(len(self.depths)):
+            wh, ww = res_h, res_w
+            pad_b = (wh - H % wh) % wh
+            pad_r = (ww - W % ww) % ww
+            plan.append(
+                dict(H=H, W=W, Hp=H + pad_b, Wp=W + pad_r, wh=wh, ww=ww,
+                     shift=(res_h // 2, res_w // 2))
+            )
+            if i < len(self.depths) - 1:
+                H, W = (H + 1) // 2, (W + 1) // 2
+                res_h, res_w = res_h // 2, res_w // 2
+        return plan
+
+    def setup(self):
+        tables = {}
+        for i, st in enumerate(self._stage_plan()):
+            for d in range(self.depths[i]):
+                tables[f"{i}_{d}"] = self.param(
+                    f"relative_position_bias_table_{i}_{d}",
+                    trunc_normal_init(),
+                    ((2 * st["wh"] - 1) * (2 * st["ww"] - 1), self.num_heads[i]),
+                )
+        self.bias_tables = tables
+
+    def precompute(self):
+        """Expand all block biases (+ fold shift masks) once per rollout."""
+        aux = {}
+        for i, st in enumerate(self._stage_plan()):
+            wh, ww = st["wh"], st["ww"]
+            for d in range(self.depths[i]):
+                rel = expand_relative_bias(
+                    self.bias_tables[f"{i}_{d}"], wh, ww
+                )
+                sh, sw = (0, 0) if d % 2 == 0 else st["shift"]
+                if sh or sw:
+                    mask = jnp.asarray(
+                        shift_attn_mask(st["Hp"], st["Wp"], wh, ww, sh, sw)
+                    )
+                    aux[f"{i}_{d}"] = rel[None] + mask[:, None]  # [nW,nh,N,N]
+                else:
+                    aux[f"{i}_{d}"] = rel
+        return aux
+
     @nn.compact
-    def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
+    def step(self, x: jax.Array, state: Any, aux=None) -> tuple[jax.Array, Any]:
+        if aux is None:
+            aux = self.precompute()
         # HEALPix: [B, F, H, W, C] -> 3x4 rectangle of faces
         if self.mesh == "healpix":
             B, F, H, W, C = x.shape
@@ -281,31 +342,28 @@ class SwinTransformer(RolloutModel):
 
         # encoder stages with global-size windows, halving resolution
         n_layers = len(self.depths)
+        plan = self._stage_plan()
         feats = []
-        H, W = Wh, Ww
-        res_h, res_w = Wh, Ww
         for i in range(n_layers):
+            st = plan[i]
             dim = int(self.embed_dim * 2**i)
-            window = (res_h, res_w)
-            shift = (res_h // 2, res_w // 2)
+            H, W = st["H"], st["W"]
             for d in range(self.depths[i]):
-                blk_shift = (0, 0) if d % 2 == 0 else shift
+                blk_shift = (0, 0) if d % 2 == 0 else st["shift"]
                 x = SwinBlock(
                     dim,
                     self.num_heads[i],
-                    window,
+                    (st["wh"], st["ww"]),
                     blk_shift,
                     self.mlp_ratio,
                     self.qkv_bias,
                     mesh=self.mesh,
                     use_flash=self.use_flash_attention,
-                )(x, H, W)
+                )(x, H, W, aux[f"{i}_{d}"])
             x_out = nn.LayerNorm(epsilon=1e-5)(x)
             feats.append(x_out.reshape(B, H, W, dim))
             if i < n_layers - 1:
                 x = PatchMerging(dim)(x, H, W)
-                H, W = (H + 1) // 2, (W + 1) // 2
-                res_h, res_w = res_h // 2, res_w // 2
 
         # U-Net style ConvTranspose decoder (`:586-607,671-677`)
         feats = feats[::-1]

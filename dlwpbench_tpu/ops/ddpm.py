@@ -82,10 +82,13 @@ def step(
     model_output: jax.Array,
     t: jax.Array,
     sample: jax.Array,
-    key: jax.Array,
+    key: jax.Array = None,
+    noise: jax.Array = None,
 ) -> jax.Array:
     """One reverse-diffusion step (DDPM ancestral sampling, v-prediction,
-    clip_sample=False).  `t` is a scalar timestep; adds noise unless t==0."""
+    clip_sample=False).  `t` is a scalar timestep; adds noise unless t==0.
+    Pass `noise` explicitly (e.g. for cross-framework parity tests) to skip
+    the internal `jax.random.normal` draw."""
     ndim = sample.ndim
     acp_t = _extract(sched.alphas_cumprod, t, ndim)
     acp_prev = jnp.where(
@@ -103,5 +106,6 @@ def step(
     mean = coef_x0 * pred_x0 + coef_xt * sample
 
     var = jnp.clip(beta_t * (1.0 - acp_prev) / (1.0 - acp_t), 1e-20, None)
-    noise = jax.random.normal(key, sample.shape, sample.dtype)
+    if noise is None:
+        noise = jax.random.normal(key, sample.shape, sample.dtype)
     return jnp.where(t > 0, mean + jnp.sqrt(var) * noise, mean)

@@ -153,6 +153,13 @@ def main(argv=None):
             print(f"{name:12s} FAILED: {type(e).__name__}: {e}", flush=True)
 
     os.makedirs("outputs", exist_ok=True)
+    # merge with any existing results so partial re-runs do not drop models
+    try:
+        with open("outputs/benchmark_matrix.json") as f:
+            prev = json.load(f).get("results", {})
+    except Exception:
+        prev = {}
+    results = {**prev, **results}
     with open("outputs/benchmark_matrix.json", "w") as f:
         json.dump(
             {"batch": B, "steps": args.steps, "grid": [H, W], "results": results},

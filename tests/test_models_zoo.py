@@ -325,27 +325,19 @@ class TestSwinBiasExpansion:
     def test_two_stage_gather_matches_index_table(self):
         """The structured bias expansion must equal the reference's
         index-table gather (`swin_transformer.py:100-113`)."""
-        import jax
-
-        from dlwpbench_tpu.models.swin import WindowAttention, relative_position_index
+        from dlwpbench_tpu.models.swin import (
+            expand_relative_bias,
+            relative_position_index,
+        )
 
         wh, ww, nh = 4, 6, 3
         N = wh * ww
-        m = WindowAttention(12, (wh, ww), nh)
-        x = jnp.zeros((1, N, 12))
-        p = m.init(jax.random.PRNGKey(0), x)
-        table = np.asarray(
-            p["params"]["relative_position_bias_table"]
-        )
+        table = np.random.default_rng(0).standard_normal(
+            ((2 * wh - 1) * (2 * ww - 1), nh)
+        ).astype(np.float32)
         idx = relative_position_index(wh, ww)
         want = table[idx.reshape(-1)].reshape(N, N, nh).transpose(2, 0, 1)
-
-        T = table.reshape(2 * wh - 1, 2 * ww - 1, nh)
-        dx = (np.arange(ww)[:, None] - np.arange(ww)[None, :]) + ww - 1
-        T2 = T[:, dx.reshape(-1)].reshape(2 * wh - 1, ww, ww, nh)
-        dy = (np.arange(wh)[:, None] - np.arange(wh)[None, :]) + wh - 1
-        B4 = T2[dy.reshape(-1)].reshape(wh, wh, ww, ww, nh)
-        got = B4.transpose(4, 0, 2, 1, 3).reshape(nh, N, N)
+        got = np.asarray(expand_relative_bias(jnp.asarray(table), wh, ww))
         np.testing.assert_allclose(got, want, atol=0)
 
 

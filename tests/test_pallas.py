@@ -51,3 +51,60 @@ class TestFlashWindowAttention:
                                    interpret=True)
         )
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_grouped_bias(self):
+        """[G, H, N, N] per-window bias selected as window = b % G (the
+        multi-window Swin / Pangu earth-bias layout)."""
+        from dlwpbench_tpu.ops.pallas_attention import (
+            flash_window_attention,
+            reference_attention,
+        )
+
+        G, H, N, D = 3, 2, 128, 16
+        B = 2 * G  # batch laid out as sample*G + window
+        r = np.random.default_rng(2)
+        q = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        v = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        bias = jnp.asarray(0.1 * r.standard_normal((G, H, N, N)), jnp.float32)
+        bias = bias.at[:, :, : N // 4, N // 2 :].add(-100.0)  # mask-like
+
+        want = np.asarray(reference_attention(q, k, v, bias, D**-0.5))
+        got = np.asarray(
+            flash_window_attention(q, k, v, bias, block_q=64, block_k=64,
+                                   interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_gradients(self):
+        """custom-VJP gradients match differentiating the einsum oracle."""
+        import jax
+
+        from dlwpbench_tpu.ops.pallas_attention import (
+            flash_window_attention,
+            reference_attention,
+        )
+
+        B, H, N, D = 2, 2, 128, 16
+        r = np.random.default_rng(3)
+        q = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        v = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        bias = jnp.asarray(0.1 * r.standard_normal((H, N, N)), jnp.float32)
+
+        def loss_flash(q, k, v, bias):
+            return (
+                flash_window_attention(
+                    q, k, v, bias, block_q=64, block_k=64, interpret=True
+                ) ** 2
+            ).sum()
+
+        def loss_ref(q, k, v, bias):
+            return (reference_attention(q, k, v, bias, D**-0.5) ** 2).sum()
+
+        g1 = jax.grad(loss_flash, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3
+            )

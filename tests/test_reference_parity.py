@@ -614,15 +614,12 @@ class TestFullSwinRolloutParity:
             },
         }
         bi = 0
-        for stage in ref.layers:
-            for blk in stage.blocks:
+        for si, stage in enumerate(ref.layers):
+            for di, blk in enumerate(stage.blocks):
                 tree[f"SwinBlock_{bi}"] = {
                     "LayerNorm_0": ln(blk.norm1),
                     "LayerNorm_1": ln(blk.norm2),
                     "WindowAttention_0": {
-                        "relative_position_bias_table": jnp.asarray(
-                            blk.attn.relative_position_bias_table.detach().numpy()
-                        ),
                         "Dense_0": lin(blk.attn.qkv),
                         "Dense_1": lin(blk.attn.proj),
                     },
@@ -631,6 +628,11 @@ class TestFullSwinRolloutParity:
                         "Dense_1": lin(blk.mlp.fc2),
                     },
                 }
+                # bias tables are hoisted to model-level params (expanded
+                # once per rollout in precompute(), outside the scan)
+                tree[f"relative_position_bias_table_{si}_{di}"] = jnp.asarray(
+                    blk.attn.relative_position_bias_table.detach().numpy()
+                )
                 bi += 1
         # decoder ConvTranspose: torch [in, out, kh, kw] -> flax
         # [kh, kw, in, out], spatially flipped
@@ -741,9 +743,6 @@ class TestFullPanguRolloutParity:
                     "LayerNorm_0": ln(blk.norm1),
                     "LayerNorm_1": ln(blk.norm2),
                     "EarthAttention3D_0": {
-                        "earth_position_bias_table": jnp.asarray(
-                            blk.attn.earth_position_bias_table.detach().numpy()
-                        ),
                         "Dense_0": lin(blk.attn.qkv),
                         "Dense_1": lin(blk.attn.proj),
                     },
@@ -752,6 +751,11 @@ class TestFullPanguRolloutParity:
                         "Dense_1": lin(blk.mlp.fc2),
                     },
                 }
+                # bias tables are hoisted to model-level params (expanded
+                # once per rollout in precompute(), outside the scan)
+                tree[f"earth_position_bias_table_{bi}"] = jnp.asarray(
+                    blk.attn.earth_position_bias_table.detach().numpy()
+                )
                 bi += 1
         got = np.asarray(
             ours.apply({"params": tree}, jnp.asarray(const), jnp.asarray(pres),
@@ -763,3 +767,122 @@ class TestFullPanguRolloutParity:
         # elementwise bound (max observed diff ~1.5e-3 on outputs of |x|~3)
         assert np.abs(got - want).mean() < 5e-4
         np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
+class TestFullModernUNetRolloutParity:
+    """Weight-copy full-rollout parity for the ModernUNet family against the
+    reference MUNetHPX exactly as it executes (`unet.py:559-757`).
+
+    Only the HEALPix variant is testable: the checked-out lat-lon
+    `ModernUNetDecoder.__init__` crashes on an undefined `c_out2`
+    (`unet.py:725`, fork defect beyond SURVEY 2.9).  Our `variant="reference"`
+    core reproduces the as-executed wiring (no decoder skip concat — dead
+    code on the HPX path — and two residual blocks per decoder level)."""
+
+    def test_munet_hpx_rollout_allclose(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        RefMUNet = _import_or_skip("models.unet.unet", "MUNetHPX")
+
+        from dlwpbench_tpu.models.modern_unet import MUNetHPX
+
+        Cc, Cp, Cq = 2, 1, 3
+        hidden = [8, 16]
+        B, T, F, H, W = 2, 4, 12, 8, 8
+        ref = RefMUNet(
+            constant_channels=Cc,
+            prescribed_channels=Cp,
+            prognostic_channels=Cq,
+            hidden_channels=hidden,
+            activation="th.nn.GELU()",
+            context_size=1,
+            norm=True,
+        ).eval()
+        ours = MUNetHPX(
+            constant_channels=Cc,
+            prescribed_channels=Cp,
+            prognostic_channels=Cq,
+            hidden_channels=tuple(hidden),
+            activation="gelu_exact",
+            context_size=1,
+            norm=True,
+            variant="reference",
+        )
+        rng = np.random.default_rng(0)
+        const = rng.standard_normal((B, 1, Cc, F, H, W)).astype(np.float32)
+        pres = rng.standard_normal((B, T, Cp, F, H, W)).astype(np.float32)
+        prog = rng.standard_normal((B, T, Cq, F, H, W)).astype(np.float32)
+        with torch.no_grad():
+            want = ref(
+                torch.tensor(const), torch.tensor(pres), torch.tensor(prog)
+            ).numpy()
+
+        def conv(m, k=None):
+            w = m.weight.detach().numpy().transpose(2, 3, 1, 0)  # OIHW->HWIO
+            return {"Conv_0": {"kernel": jnp.asarray(w),
+                               "bias": jnp.asarray(m.bias.detach().numpy())}}
+
+        def gn(m):
+            return {"GroupNorm_0": {
+                "scale": jnp.asarray(m.weight.detach().numpy()),
+                "bias": jnp.asarray(m.bias.detach().numpy())}}
+
+        def resblock(rb, norm=False):
+            d = {
+                "GeoConv_0": conv(rb.conv1),
+                "ZeroConv_0": conv(rb.conv2),
+            }
+            if not isinstance(rb.shortcut, torch.nn.Identity):
+                d["GeoConv_1"] = conv(rb.shortcut)
+            if norm:
+                d["GroupNormCL_0"] = gn(rb.norm1)
+                d["GroupNormCL_1"] = gn(rb.norm2)
+            return d
+
+        enc0_stem = ref.encoder.layers[0][0]
+        enc0_res = ref.encoder.layers[0][1].layers[0]
+        enc1_down = ref.encoder.layers[1][0]
+        enc1_res = ref.encoder.layers[1][1].layers[0]
+        dec0_res1 = ref.decoder.layers[0][0].layers[0]
+        dec0_res2 = ref.decoder.layers[0][2].layers[0]
+        dec0_up = ref.decoder.layers[0][3]
+        dec1_res1 = ref.decoder.layers[1][0].layers[0]
+        dec1_res2 = ref.decoder.layers[1][2].layers[0]
+
+        up_kern = dec0_up.weight.detach().numpy().transpose(2, 3, 0, 1)[
+            ::-1, ::-1
+        ].copy()
+        core = {
+            "GeoConv_0": conv(enc0_stem),
+            "ResidualBlock_0": resblock(enc0_res),
+            "Conv_0": {
+                "kernel": jnp.asarray(
+                    enc1_down.weight.detach().numpy().transpose(2, 3, 1, 0)
+                ),
+                "bias": jnp.asarray(enc1_down.bias.detach().numpy()),
+            },
+            "ResidualBlock_1": resblock(enc1_res),
+            "ResidualBlock_2": resblock(ref.middle.res1, norm=True),
+            "ResidualBlock_3": resblock(ref.middle.res2, norm=True),
+            "ResidualBlock_4": resblock(dec0_res1),
+            "ResidualBlock_5": resblock(dec0_res2),
+            "ConvTranspose_0": {
+                "kernel": jnp.asarray(up_kern),
+                "bias": jnp.asarray(dec0_up.bias.detach().numpy()),
+            },
+            "ResidualBlock_6": resblock(dec1_res1),
+            "ResidualBlock_7": resblock(dec1_res2),
+            "GroupNormCL_0": gn(ref.decoder.final_norm),
+            "ZeroConv_0": conv(ref.decoder.output_layer),
+        }
+        got = np.asarray(
+            ours.apply(
+                {"params": {"ModernUNetCore_0": core}},
+                jnp.asarray(const), jnp.asarray(pres), jnp.asarray(prog),
+            )
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
