@@ -34,11 +34,14 @@ def trunc_normal_init(std: float = 0.02):
 class Mlp(nn.Module):
     hidden: int
     out: int
+    # tanh-approx GELU by default (erf costs 2x on the VPU); parity tests
+    # set approximate=False to match torch.nn.GELU exactly.
+    approximate: bool = True
 
     @nn.compact
     def __call__(self, x):
         x = nn.Dense(self.hidden, kernel_init=trunc_normal_init())(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=self.approximate)
         return nn.Dense(self.out, kernel_init=trunc_normal_init())(x)
 
 
@@ -52,6 +55,7 @@ class AFNOBlock(nn.Module):
     n_modes: Sequence[int] = (12, 12)
     spmd_mesh: Any = None  # jax Mesh: distribute the filter's transforms
     dist_axis: str = "x"
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -96,7 +100,10 @@ class AFNOBlock(nn.Module):
         x = y + residual
         residual = x
         y = nn.LayerNorm(epsilon=1e-6)(x)
-        y = Mlp(int(self.dim * self.mlp_ratio), self.dim)(y)
+        y = Mlp(
+            int(self.dim * self.mlp_ratio), self.dim,
+            approximate=not self.exact_gelu,
+        )(y)
         return y + residual
 
 
@@ -124,6 +131,8 @@ class FourCastNet(RolloutModel):
     mesh: str = "equirectangular"
     spmd_mesh: Any = None  # jax Mesh: distribute the spectral filters
     dist_axis: str = "x"
+    # False = fast tanh-approx GELU; True = torch-exact erf GELU (parity)
+    exact_gelu: bool = False
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -143,6 +152,7 @@ class FourCastNet(RolloutModel):
                 dim=D,
                 mlp_ratio=self.mlp_ratio,
                 num_blocks=self.num_blocks,
+                exact_gelu=self.exact_gelu,
                 sparsity_threshold=self.sparsity_threshold,
                 hard_thresholding_fraction=self.hard_thresholding_fraction,
                 filter_type=self.filter,

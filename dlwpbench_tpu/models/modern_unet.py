@@ -132,10 +132,13 @@ class ResidualBlock(nn.Module):
         h = GeoConv(self.out_channels, 3, mesh=self.mesh)(h)
 
         if emb is not None:
-            # AdaGN (`modern_unet.py:589-678`): emb -> (scale, shift)
+            # AdaGN (`modern_unet.py:589-678`): emb -> (scale, shift).
+            # NB the reference applies cond_emb to the raw embedding with NO
+            # activation (`modern_unet.py:655,662`) — unlike the labml DDPM
+            # UNet it is based on; we match the reference.
             eo = nn.Dense(
                 2 * self.out_channels if self.use_scale_shift_norm else self.out_channels
-            )(act(emb))
+            )(emb)
             # broadcast over spatial dims: [B, 1, (1,) 1, C...]
             extra = h.ndim - 2
             eo = eo.reshape(eo.shape[0], *([1] * extra), eo.shape[-1])

@@ -217,6 +217,7 @@ class EarthSpecificBlock(nn.Module):
     # testing; default False = self-consistent shifts.
     reference_roll_quirk: bool = False
     use_flash: Optional[bool] = None
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: jax.Array):
@@ -264,7 +265,9 @@ class EarthSpecificBlock(nn.Module):
         ]
         x = x.reshape(B, L, C)
         x = shortcut + x
-        x = x + Mlp(int(C * self.mlp_ratio), C)(nn.LayerNorm(epsilon=1e-5)(x))
+        x = x + Mlp(int(C * self.mlp_ratio), C, approximate=not self.exact_gelu)(
+            nn.LayerNorm(epsilon=1e-5)(x)
+        )
         return x
 
 
@@ -344,6 +347,8 @@ class PanguWeather(RolloutModel):
     reference_roll_quirk: bool = False
     # None = auto (einsum at the small window size); True/False forces.
     use_flash_attention: Optional[bool] = None
+    # False = fast tanh-approx GELU; True = torch-exact erf GELU (parity)
+    exact_gelu: bool = False
 
     def _block_plan(self):
         """Static per-block geometry for the 2-6-6-2 layer plan."""
@@ -426,6 +431,7 @@ class PanguWeather(RolloutModel):
                     dim, res, heads, win, shift=(i % 2 == 1),
                     reference_roll_quirk=self.reference_roll_quirk,
                     use_flash=self.use_flash_attention,
+                    exact_gelu=self.exact_gelu,
                 )(x, aux[block_idx[0]])
                 block_idx[0] += 1
             return x

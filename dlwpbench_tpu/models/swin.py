@@ -166,6 +166,7 @@ class SwinBlock(nn.Module):
     qkv_bias: bool = True
     mesh: str = "equirectangular"
     use_flash: Optional[bool] = None
+    exact_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, H: int, W: int, bias: jax.Array):
@@ -203,7 +204,9 @@ class SwinBlock(nn.Module):
         x = x[:, :H, :W].reshape(B, H * W, C)
 
         x = shortcut + x
-        x = x + Mlp(int(C * self.mlp_ratio), C)(nn.LayerNorm(epsilon=1e-5)(x))
+        x = x + Mlp(int(C * self.mlp_ratio), C, approximate=not self.exact_gelu)(
+            nn.LayerNorm(epsilon=1e-5)(x)
+        )
         return x
 
 
@@ -252,6 +255,8 @@ class SwinTransformer(RolloutModel):
     # None = auto (Pallas flash kernel only where it wins: large windows);
     # True/False forces the path.
     use_flash_attention: Optional[bool] = None
+    # False = fast tanh-approx GELU; True = torch-exact erf GELU (parity)
+    exact_gelu: bool = False
 
     def _grid_hw(self) -> tuple[int, int]:
         if self.mesh == "healpix":
@@ -359,6 +364,7 @@ class SwinTransformer(RolloutModel):
                     self.qkv_bias,
                     mesh=self.mesh,
                     use_flash=self.use_flash_attention,
+                    exact_gelu=self.exact_gelu,
                 )(x, H, W, aux[f"{i}_{d}"])
             x_out = nn.LayerNorm(epsilon=1e-5)(x)
             feats.append(x_out.reshape(B, H, W, dim))
@@ -374,7 +380,7 @@ class SwinTransformer(RolloutModel):
             k = p if i_layer == 0 else 2
             out_ch = ch if i_layer == 0 else ch // 2
             y = nn.ConvTranspose(out_ch, (k, k), strides=(k, k), padding="VALID")(x_in)
-            y = nn.gelu(y)
+            y = nn.gelu(y, approximate=not self.exact_gelu)
         out = nn.Conv(self.prognostic_channels, (1, 1))(y)
         out = out[:, : H0, : W0]
 

@@ -570,6 +570,7 @@ class TestFullSwinRolloutParity:
             ape=False,
             patch_norm=True,
             context_size=1,
+            exact_gelu=True,  # torch.nn.GELU is erf
         )
         rng = np.random.default_rng(0)
         const = rng.standard_normal((B, 1, Cc, H, W)).astype(np.float32)
@@ -652,7 +653,7 @@ class TestFullSwinRolloutParity:
 
 
 class TestFullPanguRolloutParity:
-    def test_pangu_rollout_allclose(self):
+    def _run(self, use_f64):
         import torch
 
         import jax
@@ -690,11 +691,15 @@ class TestFullPanguRolloutParity:
             n_lon=W,
             context_size=1,
             reference_roll_quirk=True,  # reproduce panguweather.py:292
+            exact_gelu=True,  # torch.nn.GELU is erf
         )
+        dt = np.float64 if use_f64 else np.float32
+        if use_f64:
+            ref.double()
         rng = np.random.default_rng(0)
-        const = rng.standard_normal((B, 1, Cc, H, W)).astype(np.float32)
-        pres = rng.standard_normal((B, T, Cp, H, W)).astype(np.float32)
-        prog = rng.standard_normal((B, T, Cq, H, W)).astype(np.float32)
+        const = rng.standard_normal((B, 1, Cc, H, W)).astype(dt)
+        pres = rng.standard_normal((B, T, Cp, H, W)).astype(dt)
+        prog = rng.standard_normal((B, T, Cq, H, W)).astype(dt)
         with torch.no_grad():
             want = ref(
                 torch.tensor(const), torch.tensor(pres), torch.tensor(prog)
@@ -762,11 +767,30 @@ class TestFullPanguRolloutParity:
                        jnp.asarray(prog))
         )
         assert got.shape == want.shape
-        # 16 pre-norm transformer layers x closed-loop feedback amplify fp32
-        # reassociation noise; assert tight aggregate agreement plus a loose
-        # elementwise bound (max observed diff ~1.5e-3 on outputs of |x|~3)
-        assert np.abs(got - want).mean() < 5e-4
-        np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+        return got, want
+
+    def test_pangu_rollout_allclose(self):
+        got, want = self._run(use_f64=False)
+        # Round 1 relaxed this threshold blaming "fp32 reassociation"; the
+        # true cause was the tanh-approx GELU default vs torch's erf GELU.
+        # With exact_gelu=True the fp32 residual is pure reassociation
+        # (observed mean 9.5e-7 / max 7.2e-6), and test_pangu_rollout_f64
+        # shows float64 agreement to ~1e-10 — the graphs are identical.
+        assert np.abs(got - want).mean() < 5e-6
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=3e-5)
+
+    def test_pangu_rollout_f64(self):
+        """float64 run on both sides: the implementations agree to near
+        machine precision, so the fp32 gap is reassociation, not a bug."""
+        import jax
+
+        jax.config.update("jax_enable_x64", True)
+        try:
+            got, want = self._run(use_f64=True)
+        finally:
+            jax.config.update("jax_enable_x64", False)
+        assert got.dtype == np.float64
+        np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-10)
 
 
 class TestFullModernUNetRolloutParity:
@@ -886,3 +910,220 @@ class TestFullModernUNetRolloutParity:
         )
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+class _NpDDPMScheduler:
+    """Numpy transliteration of diffusers' `DDPMScheduler.step` for
+    v-prediction, `trained_betas`, `clip_sample=False`, variance
+    "fixed_small" (the exact configuration the reference trains with,
+    `scripts/train.py:76-83`; algorithm from
+    diffusers/schedulers/scheduling_ddpm.py)."""
+
+    def __init__(self, betas):
+        self.betas = np.asarray(betas, np.float64)
+        self.alphas = 1.0 - self.betas
+        self.acp = np.cumprod(self.alphas)
+
+    def step(self, model_output, t, sample, noise):
+        acp_t = self.acp[t]
+        acp_prev = self.acp[t - 1] if t > 0 else 1.0
+        beta_t = 1.0 - acp_t / acp_prev
+        alpha_t = 1.0 - beta_t
+        x0 = (acp_t**0.5) * sample - ((1.0 - acp_t) ** 0.5) * model_output
+        coef_x0 = (acp_prev**0.5) * beta_t / (1.0 - acp_t)
+        coef_xt = (alpha_t**0.5) * (1.0 - acp_prev) / (1.0 - acp_t)
+        mean = coef_x0 * x0 + coef_xt * sample
+        if t > 0:
+            var = max(beta_t * (1.0 - acp_prev) / (1.0 - acp_t), 1e-20)
+            return mean + (var**0.5) * noise
+        return mean
+
+
+class TestDiffModernUNetParity:
+    """DiffModernUNet vs the reference diffusion model
+    (`models/diffusion_models/modern_unet/modern_unet.py:138-208`):
+    single_forward denoiser parity with all weights copied, then full
+    DDPM refinement-loop parity with identical injected noise."""
+
+    def _build(self):
+        import torch
+
+        import jax
+        import jax.numpy as jnp
+
+        RefDiff = _import_or_skip(
+            "models.diffusion_models.modern_unet.modern_unet", "DiffModernUNet"
+        )
+        from dlwpbench_tpu.models.modern_unet import DiffModernUNet
+
+        Cc, Cp, Cq = 2, 1, 3
+        hidden = [8, 16]
+        K = 3
+        ref = RefDiff(
+            constant_channels=Cc,
+            prescribed_channels=Cp,
+            prognostic_channels=Cq,
+            hidden_channels=hidden,
+            activation="th.nn.GELU()",
+            context_size=1,
+            mesh="equirectangular",
+            norm=False,
+            use_scale_shift_norm=True,
+            num_refinement_step=K,
+        ).eval()
+        ours = DiffModernUNet(
+            constant_channels=Cc,
+            prescribed_channels=Cp,
+            prognostic_channels=Cq,
+            hidden_channels=tuple(hidden),
+            activation="gelu_exact",
+            context_size=1,
+            norm=False,
+            use_scale_shift_norm=True,
+            num_refinement_step=K,
+        )
+
+        def conv(m):
+            w = m.weight.detach().numpy().transpose(2, 3, 1, 0)
+            return {"Conv_0": {"kernel": jnp.asarray(w),
+                               "bias": jnp.asarray(m.bias.detach().numpy())}}
+
+        def lin(m):
+            return {"kernel": jnp.asarray(m.weight.detach().numpy().T),
+                    "bias": jnp.asarray(m.bias.detach().numpy())}
+
+        def gn(m):
+            return {"GroupNorm_0": {
+                "scale": jnp.asarray(m.weight.detach().numpy()),
+                "bias": jnp.asarray(m.bias.detach().numpy())}}
+
+        def resblock(rb):
+            d = {
+                "GeoConv_0": conv(rb.conv1),
+                "ZeroConv_0": conv(rb.conv2),
+                "Dense_0": lin(rb.cond_emb),
+            }
+            if not isinstance(rb.shortcut, torch.nn.Identity):
+                d["GeoConv_1"] = conv(rb.shortcut)
+            return d
+
+        up = ref.decoder.layers[0][2]
+        up_kern = up.weight.detach().numpy().transpose(2, 3, 0, 1)[
+            ::-1, ::-1
+        ].copy()
+        down = ref.encoder.layers[1][0]
+        core = {
+            "ResidualBlock_0": resblock(ref.encoder.layers[0][0]),
+            "Conv_0": {
+                "kernel": jnp.asarray(
+                    down.weight.detach().numpy().transpose(2, 3, 1, 0)
+                ),
+                "bias": jnp.asarray(down.bias.detach().numpy()),
+            },
+            "ResidualBlock_1": resblock(ref.encoder.layers[1][0 + 1]),
+            "ResidualBlock_2": resblock(ref.middle.res1),
+            "ResidualBlock_3": resblock(ref.middle.res2),
+            "ResidualBlock_4": resblock(ref.decoder.layers[0][0]),
+            "ConvTranspose_0": {
+                "kernel": jnp.asarray(up_kern),
+                "bias": jnp.asarray(up.bias.detach().numpy()),
+            },
+            "ResidualBlock_5": resblock(ref.decoder.layers[1][0]),
+            "GroupNormCL_0": gn(ref.decoder.final_norm),
+            "ZeroConv_0": conv(ref.decoder.output_layer),
+        }
+        params = {"params": {
+            "core": core,
+            "time_mlp1": lin(ref.time_embed[0]),
+            "time_mlp2": lin(ref.time_embed[2]),
+        }}
+        return ref, ours, params, (Cc, Cp, Cq, K)
+
+    def test_single_forward_allclose(self):
+        import torch
+
+        import jax.numpy as jnp
+
+        ref, ours, params, (Cc, Cp, Cq, K) = self._build()
+        B, H, W = 2, 16, 32
+        r = np.random.default_rng(0)
+        const = r.standard_normal((B, 1, Cc, H, W)).astype(np.float32)
+        pres = r.standard_normal((B, 1, Cp, H, W)).astype(np.float32)
+        prog = r.standard_normal((B, 1, Cq, H, W)).astype(np.float32)
+        y = r.standard_normal((B, 1, Cq, H, W)).astype(np.float32)
+        for k in range(K + 1):
+            kt = torch.full((B,), k, dtype=torch.long)
+            with torch.no_grad():
+                want = ref.single_forward(
+                    torch.tensor(const), torch.tensor(pres),
+                    torch.tensor(prog), torch.tensor(y), kt
+                ).numpy()
+            got = np.asarray(ours.apply(
+                params, jnp.asarray(const), jnp.asarray(pres),
+                jnp.asarray(prog), jnp.asarray(y), jnp.full((B,), k),
+                method=type(ours).single_forward,
+            ))
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-5)
+
+    def test_refinement_loop_allclose(self):
+        """Full DDPM refinement from pure noise, identical injected noise on
+        both sides (reference loop `modern_unet.py:175-208`)."""
+        import torch
+
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.ops import ddpm as ddpm_ops
+
+        ref, ours, params, (Cc, Cp, Cq, K) = self._build()
+        min_noise_std = 4e-4
+        betas = [
+            min_noise_std ** (k / K) for k in reversed(range(K + 1))
+        ]  # train.py:76
+        np_sched = _NpDDPMScheduler(betas)
+        sched = ddpm_ops.make_refiner_schedule(K, min_noise_std)
+        np.testing.assert_allclose(
+            np.asarray(sched.alphas_cumprod), np_sched.acp, rtol=1e-6
+        )
+
+        B, H, W = 2, 16, 32
+        r = np.random.default_rng(1)
+        const = r.standard_normal((B, 1, Cc, H, W)).astype(np.float32)
+        pres = r.standard_normal((B, 1, Cp, H, W)).astype(np.float32)
+        prog = r.standard_normal((B, 1, Cq, H, W)).astype(np.float32)
+        y0 = r.standard_normal((B, 1, Cq, H, W)).astype(np.float32)
+        step_noise = {
+            k: r.standard_normal((B, 1, Cq, H, W)).astype(np.float32)
+            for k in range(K + 1)
+        }
+
+        # torch side
+        y_t = torch.tensor(y0)
+        with torch.no_grad():
+            for k in range(K, -1, -1):
+                kt = torch.full((B,), k, dtype=torch.long)
+                pred = ref.single_forward(
+                    torch.tensor(const), torch.tensor(pres),
+                    torch.tensor(prog), y_t, kt
+                ).unsqueeze(1)
+                y_t = torch.tensor(
+                    np_sched.step(pred.numpy(), k, y_t.numpy(), step_noise[k])
+                    .astype(np.float32)
+                )
+        want = y_t.numpy()
+
+        # jax side (ddpm_ops.step with the same injected noise)
+        y_j = jnp.asarray(y0)
+        for k in range(K, -1, -1):
+            pred = ours.apply(
+                params, jnp.asarray(const), jnp.asarray(pres),
+                jnp.asarray(prog), y_j, jnp.full((B,), k),
+                method=type(ours).single_forward,
+            )
+            y_j = ddpm_ops.step(
+                sched, pred[:, None], k, y_j,
+                noise=jnp.asarray(step_noise[k]),
+            )
+        got = np.asarray(y_j)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=5e-5)
