@@ -99,16 +99,36 @@ def main():
     dt = float(np.median(times))
 
     gps = B * (T - 1) * H * W / dt
-    print(
-        json.dumps(
-            {
-                "metric": "grid-points/s/chip, UNet 2.8M 16-step rollout 5.625deg",
-                "value": round(gps, 1),
-                "unit": "gridpoints/s",
-                "vs_baseline": round(gps / BASELINE_GRIDPOINTS_PER_S, 3),
-            }
-        )
-    )
+
+    # MFU: FLOPs of ONE rollout from XLA's cost model (lowered on the host
+    # CPU backend — the HLO is identical; the remote axon compiler does not
+    # expose cost_analysis), against the chip's peak.  v5e peak is 197
+    # TFLOP/s bf16; this run computes in fp32, so report both references.
+    mfu = mfu_bf16_peak = None
+    try:
+        if cpu is not None:
+            with jax.default_device(cpu):
+                one = jax.jit(lambda p, c, pr, pg: model.apply(p, c, pr, pg))
+                cost = one.lower(params, const, pres, prog).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0.0))
+            if flops > 0:
+                PEAK_BF16 = 197e12
+                mfu_bf16_peak = flops / dt / PEAK_BF16
+                mfu = round(100 * mfu_bf16_peak, 2)
+    except Exception:
+        pass
+
+    out = {
+        "metric": "grid-points/s/chip, UNet 2.8M 16-step rollout 5.625deg",
+        "value": round(gps, 1),
+        "unit": "gridpoints/s",
+        "vs_baseline": round(gps / BASELINE_GRIDPOINTS_PER_S, 3),
+    }
+    if mfu is not None:
+        out["mfu_pct_of_bf16_peak"] = mfu
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -11,7 +11,9 @@ Three source types (config group `data/`):
 
 from __future__ import annotations
 
+import glob
 import os
+
 import numpy as np
 
 from dlwpbench_tpu.data.dataset import (
@@ -132,78 +134,171 @@ def _navier_stokes(d, tr, va, te, ctx):
     return train, val, test, stats
 
 
-def _weatherbench_zarr(d, tr, va, te, ctx):
-    """Load the reference's zarr tree with xarray (per-variable yearly files).
+def _find_data_array(group, want: str):
+    """Locate the data variable in a per-variable yearly store.
 
-    Requires the data to exist on disk at `data_path` in the reference layout;
-    everything else (role split, per-level normalization, NaN handling)
-    mirrors `datasets.py:308-416`.
+    WeatherBench directory names differ from the variable names inside
+    (e.g. `toa_incident_solar_radiation/` holds `tisr`), so fall back to
+    the unique array that is not a coordinate (its name is not a dim).
     """
-    try:
-        import xarray as xr
-    except ImportError as e:
-        raise ImportError(
-            "WeatherBenchZarr requires xarray/zarr, which are not available "
-            "in this image; use data=synthetic or data=navier_stokes instead."
-        ) from e
+    if want in group:
+        return want
+    candidates = []
+    for k in group.array_keys():
+        arr = group[k]
+        if k not in arr.dims and k not in ("level",):
+            candidates.append(k)
+    if len(candidates) == 1:
+        return candidates[0]
+    raise ValueError(
+        f"cannot identify data variable in {group.path} "
+        f"(candidates: {candidates})"
+    )
+
+
+def _load_variable_series(path: str, var_dir: str):
+    """Concatenate a variable's yearly zarr stores along time.
+
+    Returns (times[T], values[T, (level,) (face,) H, W], dims, levels).
+    Mirrors `xr.open_mfdataset(glob(...))` + time sort
+    (reference `datasets.py:291-298`).
+    """
+    from dlwpbench_tpu.data import zarr_lite
+
+    stores = sorted(glob.glob(os.path.join(path, var_dir, "*")))
+    stores = [s for s in stores if os.path.isdir(s)]
+    if not stores:
+        raise FileNotFoundError(f"no zarr stores under {path}/{var_dir}")
+    times, chunks, dims, levels = [], [], None, None
+    for s in stores:
+        g = zarr_lite.ZarrGroup.open(s)
+        name = _find_data_array(g, os.path.basename(var_dir))
+        arr = g[name]
+        if "time" not in arr.dims:
+            raise ValueError(f"{s}/{name} has no time dim: {arr.dims}")
+        if arr.dims.index("time") != 0:
+            raise NotImplementedError("time must be the leading dim")
+        times.append(zarr_lite.read_time_coord(g["time"]))
+        chunks.append(arr.read())
+        dims = arr.dims
+        if "level" in g:
+            levels = g["level"].read()
+    t = np.concatenate(times)
+    v = np.concatenate(chunks, axis=0)
+    order = np.argsort(t, kind="stable")
+    return t[order], v[order], dims, levels
+
+
+def _load_constants(path: str, names):
+    """Read constant fields from the `constants/` store(s)."""
+    from dlwpbench_tpu.data import zarr_lite
+
+    out = {}
+    stores = sorted(glob.glob(os.path.join(path, "constants", "*")))
+    stores = [s for s in stores if os.path.isdir(s)]
+    if os.path.exists(os.path.join(path, "constants", ".zgroup")):
+        stores = [os.path.join(path, "constants")] + stores
+    for s in stores:
+        g = zarr_lite.ZarrGroup.open(s)
+        for k in g.array_keys():
+            arr = g[k]
+            if k in names and k not in arr.dims and "time" not in arr.dims:
+                out[k] = arr.read()
+    missing = [n for n in names if n not in out]
+    if missing:
+        raise FileNotFoundError(f"constants {missing} not found under {path}/constants")
+    return out
+
+
+def _weatherbench_zarr(d, tr, va, te, ctx):
+    """The reference's zarr tree via the first-party reader (`zarr_lite`).
+
+    Layout, role split, manual normalization tables, NaN-fill and
+    downscaling all mirror `datasets.py:264-416`; the xarray/zarr stack is
+    replaced by `zarr_lite` (numpy + stdlib) because neither is installable
+    in this image.
+    """
+    from dlwpbench_tpu.data import stats_tables
+    from dlwpbench_tpu.data.preprocessing import coarsen_mean
 
     path = d["data_path"]
     if not os.path.isdir(path):
         raise FileNotFoundError(
-            f"WeatherBench data not found at {path!r}; download/convert it "
-            "first (see data/processing tools) or use data=synthetic."
+            f"WeatherBench data not found at {path!r}; convert it first "
+            "(scripts/nc_to_zarr.py) or use data=synthetic."
         )
-    engine = d.get("engine", "zarr")
     td = int(d.get("timedelta", 6))
+    normalize = bool(d.get("normalize", True))
+    downscale = int(d.get("downscale_factor", 1))
+    train_year = int(str(d["train_start_date"])[:4])
+    table = stats_tables.select_table(d.get("statistics"), train_year)
 
-    def load_split(start, stop):
-        names = list(d["prognostic_variable_names_and_levels"]) + list(
-            d.get("prescribed_variable_names", [])
-        )
-        fpaths = []
-        for v in names:
-            fpaths += sorted(
-                __import__("glob").glob(os.path.join(path, v, "*"))
-            )
-        if d.get("constant_names"):
-            fpaths += sorted(__import__("glob").glob(os.path.join(path, "constants", "*")))
-        ds = xr.open_mfdataset(fpaths, engine=engine).sel(
-            time=slice(start, stop, td)
-        )
-        return ds.load()
+    prog_spec = d["prognostic_variable_names_and_levels"]
+    pres_names = list(d.get("prescribed_variable_names", []))
+    const_names = list(d.get("constant_names", []))
+
+    # --- load every variable's full series once -------------------------
+    series = {}  # var -> (times, values, dims, levels)
+    for v in list(prog_spec) + pres_names:
+        series[v] = _load_variable_series(path, stats_tables.file_name_for(table, v))
+    const_raw = _load_constants(path, const_names) if const_names else {}
 
     raw_stats: dict[str, VariableStats] = {}
 
-    def to_arrays(ds):
-        prog_list, pres_list, const_list = [], [], []
-        for v, levels in d["prognostic_variable_names_and_levels"].items():
-            da = ds[v]
-            if levels:
-                for lv in levels:
-                    arr = da.sel(level=lv).values
-                    key = f"{v}{lv}"
-                    st = raw_stats.setdefault(key, compute_stats(arr))
-                    prog_list.append(np.nan_to_num(st.normalize(arr)))
-            else:
-                arr = da.values
-                st = raw_stats.setdefault(v, compute_stats(arr))
-                prog_list.append(np.nan_to_num(st.normalize(arr)))
-        for v in d.get("prescribed_variable_names", []):
-            arr = ds[v].values
-            st = raw_stats.setdefault(v, compute_stats(arr))
-            pres_list.append(np.nan_to_num(st.normalize(arr)))
-        for v in d.get("constant_names", []):
-            arr = ds[v].values
-            st = raw_stats.setdefault(v, compute_stats(arr))
-            const_list.append(np.nan_to_num(st.normalize(arr)))
+    def norm(key, var, arr, level=None):
+        st = stats_tables.stats_for(table, var, level) if normalize else None
+        if st is None:
+            st = raw_stats.setdefault(key, compute_stats(arr))
+        else:
+            raw_stats.setdefault(key, st)
+        if not normalize:
+            return np.nan_to_num(arr)
+        return np.nan_to_num(st.normalize(arr))
+
+    def channels(var, arr, dims, levels):
+        """Split a loaded series into per-level [T, ...] channels."""
+        want = prog_spec.get(var, [])
+        if want:
+            if levels is None or "level" not in dims:
+                raise ValueError(f"{var} has no level dim but levels {want} requested")
+            ax = dims.index("level")
+            lv_idx = {float(l): i for i, l in enumerate(np.asarray(levels).ravel())}
+            for lv in want:
+                a = np.take(arr, lv_idx[float(lv)], axis=ax)
+                yield f"{var}{lv}", norm(f"{var}{lv}", var, a, lv)
+        else:
+            yield var, norm(var, var, arr)
+
+    def ds_space(a):
+        return coarsen_mean(a, downscale) if downscale > 1 else a
+
+    def select(times, values, start, stop):
+        t0 = np.datetime64(str(start))
+        t1 = np.datetime64(str(stop)) + np.timedelta64(1, "D")  # inclusive date
+        m = (times >= t0) & (times < t1)
+        return values[m][::td]
+
+    def to_arrays(start, stop):
+        prog_list, pres_list = [], []
+        for v in prog_spec:
+            t, a, dims, levels = series[v]
+            for _, ch in channels(v, a, dims, levels):
+                prog_list.append(ds_space(select(t, ch, start, stop)))
+        for v in pres_names:
+            t, a, _, _ = series[v]
+            pres_list.append(ds_space(select(t, norm(v, v, a), start, stop)))
         prog = np.stack(prog_list, 1).astype(np.float32)
         pres = np.stack(pres_list, 1).astype(np.float32) if pres_list else None
-        const = np.stack(const_list, 0).astype(np.float32) if const_list else None
+        const = None
+        if const_names:
+            const = np.stack(
+                [ds_space(norm(c, c, const_raw[c])) for c in const_names], 0
+            ).astype(np.float32)
         return const, pres, prog
 
-    tr_split = to_arrays(load_split(d["train_start_date"], d["train_stop_date"]))
-    va_split = to_arrays(load_split(d["val_start_date"], d["val_stop_date"]))
-    te_split = to_arrays(load_split(d["test_start_date"], d["test_stop_date"]))
+    tr_split = to_arrays(d["train_start_date"], d["train_stop_date"])
+    va_split = to_arrays(d["val_start_date"], d["val_stop_date"])
+    te_split = to_arrays(d["test_start_date"], d["test_stop_date"])
     train = _mk(tr_split, int(tr["sequence_length"]), ctx, float(tr.get("noise", 0)), 1)
     val = _mk(va_split, int(va["sequence_length"]), ctx, 0.0, 2)
     test = _mk(te_split, int((te or va)["sequence_length"]), ctx, 0.0, 3)
