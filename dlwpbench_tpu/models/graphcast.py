@@ -83,6 +83,78 @@ class GraphCastNet(RolloutModel):
 
         mlp = lambda: MeshGraphMLP(D, D, hl)
 
+        if self.spmd_mesh is not None:
+            # Fully-partitioned step (reference keeps the WHOLE rollout
+            # partitioned: partitioned g2m scatter in prepare_inputs, m2g
+            # gather in prepare_output, node features sharded across scan
+            # steps — `graph_cast_net.py:113-133,669-736`).  Grid nodes are
+            # sharded in row-major H*W chunks (== sharding H over the
+            # device axis), mesh nodes in id chunks; every MLP runs on the
+            # node-/edge-sharded arrays via GSPMD, and the only
+            # communication is one all_to_all of boundary src features per
+            # edge_ends.  Module ORDER matches the single-device branch ->
+            # identical parameter trees, same checkpoints run either way.
+            if self.aggregation != "sum":
+                raise NotImplementedError(
+                    "partitioned GraphCast supports aggregation='sum' only"
+                )
+            from dlwpbench_tpu.parallel.graphcast_dist import make_graph_ops
+
+            g2m_ops = make_graph_ops(
+                self.spmd_mesh, g2m.src, g2m.dst, V, self.dist_axis, n_src=N
+            )
+            proc_ops = make_graph_ops(
+                self.spmd_mesh, mesh_g.src, mesh_g.dst, V, self.dist_axis,
+                n_src=V,
+            )
+            m2g_ops = make_graph_ops(
+                self.spmd_mesh, m2g.src, m2g.dst, N, self.dist_axis, n_src=V
+            )
+            NP = m2g_ops.plan.n_nodes_padded  # padded grid nodes (P*chunk)
+            VP = proc_ops.plan.n_nodes_padded  # padded mesh nodes
+
+            grid = jnp.pad(grid, [(0, 0), (0, NP - N), (0, 0)])
+            mesh_nf = jnp.pad(mesh_nf, [(0, 0), (0, VP - V), (0, 0)])
+            g2m_e = jnp.take(g2m_e, jnp.asarray(g2m_ops.plan.e_perm), axis=1)
+            mesh_e = jnp.take(mesh_e, jnp.asarray(proc_ops.plan.e_perm), axis=1)
+            m2g_e = jnp.take(m2g_e, jnp.asarray(m2g_ops.plan.e_perm), axis=1)
+
+            # encoder embedder (4 MLPs), rowwise on sharded arrays
+            grid = mlp()(grid)
+            mesh_nf = mlp()(mesh_nf)
+            g2m_e = mlp()(g2m_e)
+            mesh_e = mlp()(mesh_e)
+
+            # g2m encoder: one all_to_all moves boundary grid features
+            src_f, dst_f = g2m_ops.edge_ends(grid, mesh_nf)
+            g2m_e = mlp()(jnp.concatenate([g2m_e, src_f, dst_f], -1))
+            agg = g2m_ops.aggregate(g2m_e)
+            mesh_nf = mesh_nf + mlp()(jnp.concatenate([agg, mesh_nf], -1))
+            grid = grid + mlp()(grid)
+
+            # processor trunk over the sharded multimesh
+            for _ in range(self.processor_layers):
+                src_f, dst_f = proc_ops.edge_ends(mesh_nf, mesh_nf)
+                mesh_e = MeshEdgeBlock(D, D, hl)(
+                    mesh_e, src_f, dst_f, None, None, pregathered=True
+                )
+                agg = proc_ops.aggregate(mesh_e)
+                mesh_nf = MeshNodeBlock(D, D, hl, self.aggregation)(
+                    agg, mesh_nf, None, None, preaggregated=True
+                )
+
+            # m2g decoder: output grid features land sharded
+            m2g_e = mlp()(m2g_e)
+            src_f, dst_f = m2g_ops.edge_ends(mesh_nf, grid)
+            m2g_e = mlp()(jnp.concatenate([m2g_e, src_f, dst_f], -1))
+            agg = m2g_ops.aggregate(m2g_e)
+            grid = grid + mlp()(jnp.concatenate([agg, grid], -1))
+
+            out = MeshGraphMLP(self.prognostic_channels, D, hl, norm=False)(
+                grid
+            )[:, :N]
+            return out.reshape(B, H, W, self.prognostic_channels), state
+
         # --- encoder embedder (4 MLPs) ---
         grid = mlp()(grid)
         mesh_nf = mlp()(mesh_nf)
@@ -104,45 +176,14 @@ class GraphCastNet(RolloutModel):
         grid = grid + mlp()(grid)
 
         # --- processor over the multimesh ---
-        if self.spmd_mesh is not None:
-            # Nodewise-partitioned trunk (reference distributes exactly this
-            # part, `distributed_graph.py`): shard_map collectives move only
-            # the boundary src features; the MLPs run on the node-/edge-
-            # sharded arrays via GSPMD.  Same flax modules in the same order
-            # as the single-device branch -> identical parameter trees.
-            if self.aggregation != "sum":
-                raise NotImplementedError(
-                    "partitioned processor supports aggregation='sum' only"
-                )
-            from dlwpbench_tpu.parallel.graphcast_dist import make_processor_ops
-
-            ops = make_processor_ops(
-                self.spmd_mesh, mesh_g.src, mesh_g.dst, V, self.dist_axis
+        msrc, mdst = jnp.asarray(mesh_g.src), jnp.asarray(mesh_g.dst)
+        for _ in range(self.processor_layers):
+            mesh_e = MeshEdgeBlock(D, D, hl)(
+                mesh_e, mesh_nf, mesh_nf, msrc, mdst
             )
-            plan = ops.plan
-            mesh_nf_p = jnp.pad(
-                mesh_nf, [(0, 0), (0, plan.n_nodes_padded - V), (0, 0)]
+            mesh_nf = MeshNodeBlock(D, D, hl, self.aggregation)(
+                mesh_e, mesh_nf, mdst, V
             )
-            mesh_e_p = jnp.take(mesh_e, jnp.asarray(plan.e_perm), axis=1)
-            for _ in range(self.processor_layers):
-                src_f, dst_f = ops.edge_ends(mesh_nf_p)
-                mesh_e_p = MeshEdgeBlock(D, D, hl)(
-                    mesh_e_p, src_f, dst_f, None, None, pregathered=True
-                )
-                agg = ops.aggregate(mesh_e_p)
-                mesh_nf_p = MeshNodeBlock(D, D, hl, self.aggregation)(
-                    agg, mesh_nf_p, None, None, preaggregated=True
-                )
-            mesh_nf = mesh_nf_p[:, :V]
-        else:
-            msrc, mdst = jnp.asarray(mesh_g.src), jnp.asarray(mesh_g.dst)
-            for _ in range(self.processor_layers):
-                mesh_e = MeshEdgeBlock(D, D, hl)(
-                    mesh_e, mesh_nf, mesh_nf, msrc, mdst
-                )
-                mesh_nf = MeshNodeBlock(D, D, hl, self.aggregation)(
-                    mesh_e, mesh_nf, mdst, V
-                )
 
         # --- m2g decoder ---
         m2g_e = mlp()(m2g_e)

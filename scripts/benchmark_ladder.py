@@ -1,0 +1,311 @@
+#!/usr/bin/env python
+"""The reference's benchmark ladder, measured on this chip.
+
+The reference's defining axis is a 50k -> 128M parameter ladder per model
+family at 5.625 degrees, with hardcoded measured runtime/memory tables
+(`/root/reference/src/dlwpbench/scripts/plot_results.py:483-570`, collected
+with `model.name=test training.batch_size=1 ...
+data.train_start_date=2014-01-01`, i.e. one year of 6-hourly windows).
+
+This script rebuilds that ladder natively: for each (family, param rung)
+it solves for the width that hits the rung, jits the full remat train step
+(forward + backward + AdamW) at batch_size=1 / sequence_length=15 on the
+real device, and records step time, the reference-protocol epoch
+equivalent (96 windows = one 2014 epoch at batch 1), compile time, and
+peak memory (device memory_stats when the runtime exposes them, else
+XLA's compiled memory_analysis allocation plan).
+
+Resolution rungs (the reference's 2.0-degree/1.0-degree + HEALPix nside
+32/64 data shapes, `configs/data/full_hpx{32,64}.yaml`) are measured with
+--grid / --nside.
+
+    python scripts/benchmark_ladder.py --families unet,convlstm --rungs 50k,1m
+    python scripts/benchmark_ladder.py --families unet --rungs 8m --grid 90x180
+    python scripts/benchmark_ladder.py --families unet_hpx --rungs 8m --nside 32
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+RUNGS = {
+    "50k": 50e3, "500k": 500e3, "1m": 1e6, "2m": 2e6, "4m": 4e6,
+    "8m": 8e6, "16m": 16e6, "32m": 32e6, "64m": 64e6, "128m": 128e6,
+}
+
+# Rung coverage mirrors the reference's measured tables (nan pattern at
+# `plot_results.py:487-501`): e.g. ConvLSTM tops out at 64M, Swin at 32M.
+FAMILY_RUNGS = {
+    "convlstm": ("50k", "500k", "1m", "2m", "4m", "8m", "16m", "32m", "64m"),
+    "unet": tuple(RUNGS),
+    "swin": ("50k", "500k", "1m", "2m", "4m", "8m", "16m", "32m"),
+    "pangu": ("500k", "1m", "2m", "4m", "8m", "16m", "32m", "64m"),
+    "fourcastnet": tuple(RUNGS),
+    "sfno2d": tuple(RUNGS),
+    "fno2d": tuple(RUNGS),
+    "tfno2d": tuple(RUNGS),
+    "mgn": ("50k", "500k", "1m", "2m", "4m", "8m", "16m", "32m"),
+    "graphcast": ("50k", "500k", "1m", "2m", "4m", "8m", "16m", "32m"),
+    "modernunet": tuple(RUNGS),
+    "unet_hpx": ("500k", "2m", "8m", "32m"),
+    "convlstm_hpx": ("500k", "2m", "8m"),
+}
+
+WINDOWS_PER_EPOCH_2014 = 96  # (1460 - 15) // 15: one year, 6-hourly, seq 15
+
+
+def build(family, width, H, W, Cc, Cp, Cq, nside=None):
+    """Model for a family at integer width knob `width`."""
+    kw = dict(constant_channels=Cc, prescribed_channels=Cp,
+              prognostic_channels=Cq)
+    if family == "convlstm":
+        from dlwpbench_tpu.models.convlstm import ConvLSTM
+        return ConvLSTM(hidden_sizes=(width, width), **kw)
+    if family == "convlstm_hpx":
+        from dlwpbench_tpu.models.convlstm import ConvLSTMHPX
+        return ConvLSTMHPX(hidden_sizes=(width, width), **kw)
+    if family == "unet":
+        from dlwpbench_tpu.models.unet import UNet
+        return UNet(hidden_channels=(width, 2 * width, 4 * width), **kw)
+    if family == "unet_hpx":
+        from dlwpbench_tpu.models.unet import UNetHPX
+        return UNetHPX(hidden_channels=(width, 2 * width, 4 * width), **kw)
+    if family == "modernunet":
+        from dlwpbench_tpu.models.modern_unet import ModernUNet
+        return ModernUNet(hidden_channels=(width, 2 * width, 4 * width),
+                          norm=True, **kw)
+    if family == "fno2d":
+        from dlwpbench_tpu.models.fno import FNO2DModule
+        return FNO2DModule(hidden_channels=width, n_layers=4, **kw)
+    if family == "tfno2d":
+        from dlwpbench_tpu.models.fno import TFNO2DModule
+        return TFNO2DModule(hidden_channels=width, n_layers=4, rank=0.8, **kw)
+    if family == "fourcastnet":
+        from dlwpbench_tpu.models.fourcastnet import FourCastNet
+        d = 16 * max(1, round(width / 16))  # num_blocks=8 | embed
+        return FourCastNet(img_height=H, img_width=W, patch_size=(1, 1),
+                           embed_dim=d, depth=6, num_blocks=8, **kw)
+    if family == "sfno2d":
+        from dlwpbench_tpu.models.sfno import SFNO2DModule
+        d = 8 * max(1, round(width / 8))
+        return SFNO2DModule(embed_dim=d, num_layers=4, height=H, width=W, **kw)
+    if family == "swin":
+        from dlwpbench_tpu.models.swin import SwinTransformer
+        d = 24 * max(1, round(width / 24))  # heads (3,6), head_dim % 8 == 0
+        return SwinTransformer(img_height=H, img_width=W, embed_dim=d,
+                               depths=(4, 4), num_heads=(3, 6),
+                               use_flash_attention=True, **kw)
+    if family == "pangu":
+        from dlwpbench_tpu.models.pangu import PanguWeather
+        d = 48 * max(1, round(width / 48))  # heads (6,12), head_dim % 8 == 0
+        return PanguWeather(embed_dim=d, num_heads=(6, 12, 12, 6),
+                            patch_size=(1, 1), n_lat=H, n_lon=W, **kw)
+    if family == "mgn":
+        from dlwpbench_tpu.models.mgn import MeshGraphNet
+        return MeshGraphNet(processor_size=4, hidden_dim_processor=width,
+                            hidden_dim_node_encoder=width,
+                            hidden_dim_edge_encoder=width,
+                            hidden_dim_node_decoder=width,
+                            graph_type="delaunay", **kw)
+    if family == "graphcast":
+        from dlwpbench_tpu.models.graphcast import GraphCastNet
+        return GraphCastNet(input_height=H, input_width=W, mesh_level=3,
+                            processor_layers=4, hidden_dim=width, **kw)
+    raise ValueError(f"unknown family {family!r}")
+
+
+def count_params(model, shapes):
+    """Parameter count via eval_shape — no memory, no compile."""
+    import jax
+
+    const, pres, prog = shapes
+    tree = jax.eval_shape(model.init, jax.random.PRNGKey(0), const, pres, prog)
+    return sum(int(np.prod(x.shape)) for x in jax.tree.leaves(tree))
+
+
+def solve_width(family, target, shapes, H, W, Cc, Cp, Cq, nside, tol=0.10):
+    """Smallest-error width for the param target (params grow ~ width^2)."""
+    lo, hi = 1, 4096
+    best = None
+    for _ in range(24):
+        mid = (lo + hi) // 2
+        n = count_params(build(family, mid, H, W, Cc, Cp, Cq, nside), shapes)
+        if best is None or abs(n - target) < abs(best[1] - target):
+            best = (mid, n)
+        if n < target:
+            lo = mid + 1
+        else:
+            hi = mid - 1
+        if lo > hi:
+            break
+    w, n = best
+    if abs(n - target) / target > tol and target >= 500e3:
+        print(f"  [warn] {family}@{target:.0f}: width {w} gives {n} "
+              f"({abs(n-target)/target:+.0%})", flush=True)
+    return w, n
+
+
+def measure(model, shapes_np, dev, cpu, repeats=4, iters=3):
+    """Compile + time the remat train step; return timings and memory."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dlwpbench_tpu.training.losses import mse_loss
+
+    const, pres, prog, target = (jnp.asarray(a) for a in shapes_np)
+    if hasattr(model, "remat"):
+        model = model.clone(remat=True)
+    tgt = target[:, : target.shape[1] - (model.context_size - 1)]
+
+    with jax.default_device(cpu if cpu is not None else dev):
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), const, pres, prog)
+    tx = optax.adamw(1e-3, weight_decay=1e-5)
+    opt_state = tx.init(params)
+    p2, o2, c2, pr2, pg2, t2 = jax.device_put(
+        (params, opt_state, const, pres, prog, tgt), dev)
+
+    def chained(p, o, c, pr, pg, t):
+        def body(carry, _):
+            p, o = carry
+
+            def loss_fn(pp):
+                return mse_loss(model.apply(pp, c, pr, pg), t)
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o2_ = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o2_), loss
+
+        (p, o), losses = jax.lax.scan(body, (p, o), None, length=repeats)
+        return losses.sum()
+
+    jitted = jax.jit(chained)
+    t0 = time.perf_counter()
+    compiled = jitted.lower(p2, o2, c2, pr2, pg2, t2).compile()
+    compile_s = time.perf_counter() - t0
+
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            mem["xla_plan_mb"] = round(
+                (getattr(ma, "argument_size_in_bytes", 0)
+                 + getattr(ma, "temp_size_in_bytes", 0)
+                 + getattr(ma, "output_size_in_bytes", 0)) / 1e6, 1)
+    except Exception:
+        pass
+
+    t0 = time.perf_counter()
+    float(compiled(p2, o2, c2, pr2, pg2, t2))
+    first_s = time.perf_counter() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(compiled(p2, o2, c2, pr2, pg2, t2))
+        times.append((time.perf_counter() - t0) / repeats)
+    try:
+        stats = dev.memory_stats() or {}
+        if stats.get("peak_bytes_in_use"):
+            mem["peak_mb"] = round(stats["peak_bytes_in_use"] / 1e6, 1)
+    except Exception:
+        pass
+    return float(np.median(times)), compile_s + first_s, mem
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--families", default="unet,convlstm,swin,fourcastnet,sfno2d,graphcast")
+    ap.add_argument("--rungs", default=None, help="e.g. 50k,1m,128m (default: family coverage)")
+    ap.add_argument("--grid", default="32x64", help="HxW lat-lon grid")
+    ap.add_argument("--nside", type=int, default=None, help="HEALPix nside (hpx families)")
+    ap.add_argument("--seq", type=int, default=15)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--out", default="results/ladder.json")
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    import dlwpbench_tpu
+
+    dlwpbench_tpu.enable_compile_cache()
+
+    if args.nside:
+        H = W = args.nside
+        spatial = (12, H, W)
+        grid_key = f"hpx{args.nside}"
+        npoints = 12 * H * W
+    else:
+        H, W = (int(x) for x in args.grid.split("x"))
+        spatial = (H, W)
+        grid_key = f"{H}x{W}"
+        npoints = H * W
+    B, T, Cc, Cp, Cq = args.batch, args.seq, 4, 1, 8
+
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        cpu = None
+    dev = jax.devices()[0]
+
+    r = np.random.default_rng(0)
+    const_np = r.standard_normal((B, 1, Cc, *spatial)).astype(np.float32)
+    pres_np = r.standard_normal((B, T, Cp, *spatial)).astype(np.float32)
+    prog_np = r.standard_normal((B, T, Cq, *spatial)).astype(np.float32)
+    tgt_np = r.standard_normal((B, T - 1, Cq, *spatial)).astype(np.float32)
+    shapes = tuple(jnp.asarray(np.zeros(a.shape, np.float32))
+                   for a in (const_np, pres_np, prog_np))
+
+    try:
+        with open(args.out) as f:
+            results = json.load(f)
+    except Exception:
+        results = {}
+
+    for family in args.families.split(","):
+        rungs = args.rungs.split(",") if args.rungs else FAMILY_RUNGS[family]
+        for rung in rungs:
+            key = f"{family}@{rung}@{grid_key}"
+            if results.get(key, {}).get("step_s"):
+                print(f"{key}: cached, skipping", flush=True)
+                continue
+            target = RUNGS[rung]
+            try:
+                with jax.default_device(cpu if cpu is not None else dev):
+                    w, n = solve_width(family, target, shapes, H, W, Cc, Cp, Cq,
+                                       args.nside)
+                    model = build(family, w, H, W, Cc, Cp, Cq, args.nside)
+                step_s, compile_s, mem = measure(
+                    model, (const_np, pres_np, prog_np, tgt_np), dev, cpu)
+                epoch_s = step_s * WINDOWS_PER_EPOCH_2014 / B
+                results[key] = {
+                    "family": family, "rung": rung, "grid": grid_key,
+                    "width": w, "params": n, "batch": B, "seq": T,
+                    "step_s": round(step_s, 4),
+                    "epoch_s_2014_protocol": round(epoch_s, 2),
+                    "compile_s": round(compile_s, 1),
+                    "gridpoints_per_s": round(B * (T - 1) * npoints / step_s, 1),
+                    **mem,
+                }
+                print(f"{key}: {n/1e6:7.2f}M  step {step_s*1e3:8.1f} ms  "
+                      f"epoch(2014) {epoch_s:7.2f} s  compile {compile_s:5.1f} s"
+                      f"  mem {mem}", flush=True)
+            except Exception as e:
+                results[key] = {"family": family, "rung": rung,
+                                "grid": grid_key,
+                                "error": f"{type(e).__name__}: {e}"}
+                print(f"{key}: FAILED {type(e).__name__}: {e}", flush=True)
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=1, sort_keys=True)
+    print(f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

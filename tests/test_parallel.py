@@ -466,3 +466,46 @@ class TestDistributedSpectralLayers:
             g0, g1,
         )
         assert max(jax.tree.leaves(diff)) < 5e-3
+
+    def test_graphcast_partitioned_in_out_rollout(self):
+        """Full-rollout partitioning (VERDICT item 5): input sharded over
+        the grid axis, output sharded the same way, 3-step closed-loop
+        rollout equal to the single-device model — the reference's
+        expect_partitioned_input/produce_aggregated_output semantics
+        (`graph_cast_net.py:113-133,669-736`) with features partitioned
+        across scan steps."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from dlwpbench_tpu.models.graphcast import GraphCastNet
+
+        mesh = _mesh_x(4)
+        kw = dict(
+            input_height=8,
+            input_width=16,
+            constant_channels=0,
+            prescribed_channels=0,
+            prognostic_channels=2,
+            mesh_level=1,
+            processor_layers=2,
+            hidden_dim=16,
+            context_size=1,
+        )
+        m0 = GraphCastNet(**kw)
+        m1 = GraphCastNet(spmd_mesh=mesh, **kw)
+        prog = jnp.asarray(
+            np.random.default_rng(21).standard_normal((1, 4, 2, 8, 16)),
+            jnp.float32,
+        )
+        params = m0.init(jax.random.PRNGKey(0), None, None, prog)
+
+        sh = NamedSharding(mesh, P(None, None, None, "x", None))
+        prog_sh = jax.device_put(prog, sh)
+        roll = jax.jit(
+            lambda p, x: m1.apply(p, None, None, x), out_shardings=sh
+        )
+        out_part = roll(params, prog_sh)
+        assert out_part.sharding.is_equivalent_to(sh, out_part.ndim)
+        out0 = np.asarray(m0.apply(params, None, None, prog))
+        np.testing.assert_allclose(
+            np.asarray(out_part), out0, rtol=2e-3, atol=2e-3
+        )
