@@ -70,11 +70,15 @@ def compute_metrics(
     var_names: list[str],
     out_dir: str,
     climatology: Optional[np.ndarray] = None,
+    timedelta_hours: Optional[float] = None,
 ) -> dict:
     """Lat-weighted RMSE/ACC per variable/lead time + physical soundness.
 
     outputs/targets: [sample, T, C, H, W].  Writes JSON + netcdf-style npz
     (xarray-free fallback) under out_dir and returns the metrics dict.
+    `timedelta_hours` enables the year-long-rollout month-11..12 soundness
+    metric when the lead axis reaches 334 days (reference
+    `evaluate.py:864-872`).
     """
     os.makedirs(out_dir, exist_ok=True)
     results: dict = {"variables": var_names}
@@ -98,6 +102,10 @@ def compute_metrics(
         results.setdefault("zonal_rmse_south_westerlies", {})[name] = float(
             M.zonal_mean_rmse(o, t, lats_deg, [(-55, -45)])
         )
+        if timedelta_hours is not None:
+            m1112 = M.rmse_months_11_12(o, t, timedelta_hours)
+            if m1112 is not None:
+                results.setdefault("rmse_months_11_12", {})[name] = float(m1112)
     results["rmse"] = rmses
     results["frobenius"] = fro
     if accs:
@@ -175,28 +183,78 @@ def plot_rmse_over_time(metric_files: dict[str, dict], var_names, out_path):
     plt.close(fig)
 
 
-def generate_mp4(fields: np.ndarray, out_path: str, fps: int = 4) -> bool:
-    """Render a [T, H, W] field sequence to mp4 via matplotlib frames +
-    ffmpeg subprocess (reference `evaluate.py:419-500`).  Returns success."""
-    import shutil
-    import tempfile
+def render_forecast_frames(
+    outputs: np.ndarray,
+    frames_dir: str,
+    targets: Optional[np.ndarray] = None,
+    var_name: str = "",
+) -> int:
+    """Write the reference's per-timestep forecast frames as PNGs.
 
-    if shutil.which("ffmpeg") is None:
-        return False
+    outputs (and optionally targets): [T, H, W].  With targets, each frame
+    is the reference's 3-panel prediction / ground truth / difference
+    layout (`evaluate.py:442-478`: shared output/target color range,
+    symmetric bwr difference scale); without, a single panel.  Returns the
+    number of frames written.  Pure-matplotlib — testable without ffmpeg.
+    """
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    with tempfile.TemporaryDirectory() as td:
-        vmin, vmax = np.percentile(fields, [2, 98])
-        for t in range(fields.shape[0]):
+    os.makedirs(frames_dir, exist_ok=True)
+    T = outputs.shape[0]
+    if targets is not None:
+        vmin, vmax = float(np.min(targets)), float(np.max(targets))
+        diff = outputs - targets
+        diffmax = float(np.abs(diff).max()) or 1.0
+    else:
+        vmin, vmax = (float(v) for v in np.percentile(outputs, [2, 98]))
+    for t in range(T):
+        if targets is None:
             fig, ax = plt.subplots(figsize=(4, 2.2))
-            ax.imshow(fields[t], vmin=vmin, vmax=vmax, cmap="RdBu_r", origin="lower")
+            ax.imshow(outputs[t], vmin=vmin, vmax=vmax, cmap="RdBu_r",
+                      origin="lower")
             ax.set_axis_off()
-            fig.savefig(os.path.join(td, f"f{t:04d}.png"), dpi=80,
-                        bbox_inches="tight")
-            plt.close(fig)
+        else:
+            fig, axes = plt.subplots(1, 3, figsize=(12, 3), sharex=True,
+                                     sharey=True)
+            ext = [-180, 180, -90, 90]
+            axes[0].imshow(outputs[t], origin="lower", vmin=vmin, vmax=vmax,
+                           extent=ext)
+            axes[0].set_title(r"Prediction ($\hat{y}$)")
+            im1 = axes[1].imshow(targets[t], origin="lower", vmin=vmin,
+                                 vmax=vmax, extent=ext)
+            axes[1].set_title(r"Ground truth ($y$)")
+            fig.colorbar(im1, ax=axes[1], fraction=0.025)
+            im2 = axes[2].imshow(diff[t], origin="lower", vmin=-diffmax,
+                                 vmax=diffmax, cmap="bwr", extent=ext)
+            axes[2].set_title(r"Difference ($\hat{y}-y$)")
+            fig.colorbar(im2, ax=axes[2], fraction=0.025)
+            fig.suptitle(f"{var_name}, time step = {t + 1}/{T}")
+            fig.tight_layout()
+        fig.savefig(os.path.join(frames_dir, f"f{t:04d}.png"), dpi=80)
+        plt.close(fig)
+    return T
+
+
+def generate_mp4(
+    fields: np.ndarray,
+    out_path: str,
+    targets: Optional[np.ndarray] = None,
+    fps: int = 4,
+    var_name: str = "",
+) -> bool:
+    """Render a [T, H, W] forecast to mp4 (reference `evaluate.py:419-500`:
+    matplotlib frames + ffmpeg).  Feature-gated: returns False without
+    writing anything when ffmpeg is unavailable in the image."""
+    import shutil
+    import tempfile
+
+    if shutil.which("ffmpeg") is None:
+        return False
+    with tempfile.TemporaryDirectory() as td:
+        render_forecast_frames(fields, td, targets=targets, var_name=var_name)
         ret = subprocess.run(
             [
                 "ffmpeg", "-y", "-loglevel", "quiet", "-framerate", str(fps),

@@ -75,3 +75,25 @@ def zonal_mean_rmse(
 def frobenius_norm(outputs: jax.Array, targets: jax.Array) -> jax.Array:
     """Accumulated-error Frobenius norm per lead time."""
     return jnp.sqrt(((outputs - targets) ** 2).sum(axis=(0, 2, 3)))
+
+
+def rmse_months_11_12(
+    outputs: jax.Array,
+    targets: jax.Array,
+    timedelta_hours: float,
+) -> jax.Array | None:
+    """Year-long-rollout soundness: RMSE of the month-11..12 mean state.
+
+    Reference `evaluate.py:864-872`: average outputs and targets over lead
+    times in [334 d, 365 d], then sqrt of the mean squared difference over
+    all remaining dims (unweighted, as in the reference).  Returns None
+    when the rollout is shorter than 334 days.
+    """
+    T = outputs.shape[1]
+    lead_h = np.arange(T) * float(timedelta_hours)
+    sel = (lead_h >= 334 * 24) & (lead_h <= 365 * 24)
+    if not sel.any():
+        return None
+    avg_out = outputs[:, sel].mean(axis=1)
+    avg_tar = targets[:, sel].mean(axis=1)
+    return jnp.sqrt(((avg_out - avg_tar) ** 2).mean())

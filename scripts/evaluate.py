@@ -86,14 +86,21 @@ def evaluate_run(run_dir: str, sequence_length: int, batch_size: int, video: boo
         if clim_arr.shape[1] >= outputs.shape[1] and clim_arr.shape[0] >= outputs.shape[0]:
             clim = clim_arr[: outputs.shape[0], : outputs.shape[1]]
     results = E.compute_metrics(
-        outputs, targets, lats, var_names, out_dir, climatology=clim
+        outputs, targets, lats, var_names, out_dir, climatology=clim,
+        # lead-step length: explicit timedelta_hours wins (daily-stored
+        # trees use timedelta as a step STRIDE, e.g. configs/data/full_*),
+        # else the 6-hourly WeatherBench reading of `timedelta`.
+        timedelta_hours=float(
+            cfg.data.get("timedelta_hours", cfg.data.get("timedelta", 6))
+        ),
     )
     print("RMSE (first var, per lead time):",
           np.round(results["rmse"][var_names[0]], 4).tolist())
 
     if video:
         ok = E.generate_mp4(
-            outputs[0, :, 0], os.path.join(out_dir, "forecast.mp4")
+            outputs[0, :, 0], os.path.join(out_dir, "forecast.mp4"),
+            targets=targets[0, :, 0], var_name=var_names[0],
         )
         print("video:", "written" if ok else "ffmpeg unavailable, skipped")
     return results

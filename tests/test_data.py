@@ -247,3 +247,74 @@ def test_synthetic_biweekly_test_inits():
     # and windows fit inside the split
     _, _, p, t = test[len(test.init_indices) - 1]
     assert p.shape[0] == 6
+
+
+class TestYearLongSoundness:
+    def test_rmse_months_11_12_selects_tail(self):
+        """Lead times in [334 d, 365 d] only (reference evaluate.py:864-872):
+        a divergence injected before day 334 must not affect the metric."""
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.evaluation.metrics import rmse_months_11_12
+
+        T = 366  # daily steps, one year
+        out = np.zeros((1, T, 4, 8), np.float32)
+        tar = np.zeros((1, T, 4, 8), np.float32)
+        out[:, :334] = 100.0  # pre-window divergence: ignored
+        out[:, 334:] = 3.0  # constant offset inside the window
+        r = float(rmse_months_11_12(jnp.asarray(out), jnp.asarray(tar), 24.0))
+        np.testing.assert_allclose(r, 3.0, rtol=1e-6)
+
+    def test_rmse_months_11_12_short_rollout_none(self):
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.evaluation.metrics import rmse_months_11_12
+
+        out = jnp.zeros((1, 57, 4, 8))
+        assert rmse_months_11_12(out, out, 6.0) is None
+
+    def test_compute_metrics_includes_months_11_12(self, tmp_path):
+        import json
+
+        from dlwpbench_tpu.evaluation.evaluate import compute_metrics
+
+        rng = np.random.default_rng(0)
+        T = 30  # 30 x 2-week steps > 334 days
+        out = rng.standard_normal((1, T, 1, 8, 16)).astype(np.float32)
+        tar = rng.standard_normal((1, T, 1, 8, 16)).astype(np.float32)
+        lats = np.linspace(-87, 87, 8)
+        res = compute_metrics(out, tar, lats, ["z500"], str(tmp_path),
+                              timedelta_hours=14 * 24.0)
+        assert "rmse_months_11_12" in res and "z500" in res["rmse_months_11_12"]
+        saved = json.load(open(tmp_path / "metrics.json"))
+        assert "rmse_months_11_12" in saved
+
+
+class TestForecastVideo:
+    def test_frame_writer_three_panel(self, tmp_path):
+        """Frame rendering is testable without ffmpeg (feature-gated mp4)."""
+        from dlwpbench_tpu.evaluation.evaluate import render_forecast_frames
+
+        rng = np.random.default_rng(1)
+        out = rng.standard_normal((3, 8, 16)).astype(np.float32)
+        tar = rng.standard_normal((3, 8, 16)).astype(np.float32)
+        n = render_forecast_frames(out, str(tmp_path), targets=tar,
+                                   var_name="z500")
+        assert n == 3
+        import os
+
+        frames = sorted(os.listdir(tmp_path))
+        assert frames == ["f0000.png", "f0001.png", "f0002.png"]
+        assert all((tmp_path / f).stat().st_size > 1000 for f in frames)
+
+    def test_generate_mp4_feature_gated(self, tmp_path):
+        import shutil
+
+        from dlwpbench_tpu.evaluation.evaluate import generate_mp4
+
+        out = np.zeros((2, 8, 16), np.float32)
+        ok = generate_mp4(out, str(tmp_path / "v.mp4"))
+        if shutil.which("ffmpeg") is None:
+            assert ok is False and not (tmp_path / "v.mp4").exists()
+        else:
+            assert ok is True and (tmp_path / "v.mp4").exists()
