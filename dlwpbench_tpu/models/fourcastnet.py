@@ -56,6 +56,7 @@ class AFNOBlock(nn.Module):
     spmd_mesh: Any = None  # jax Mesh: distribute the filter's transforms
     dist_axis: str = "x"
     exact_gelu: bool = False
+    fft_impl: str = "matmul"  # "matmul" (MXU DFT) | "fft" (jnp.fft)
 
     @nn.compact
     def __call__(self, x):
@@ -70,6 +71,7 @@ class AFNOBlock(nn.Module):
                 hard_thresholding_fraction=self.hard_thresholding_fraction,
                 spmd_mesh=self.spmd_mesh,
                 dist_axis=self.dist_axis,
+                fft_impl=self.fft_impl,
             )(y)
         elif self.filter_type == "SFNO":
             # FourCastNetv2 (reference `fourcastnet.py:364-527`): the mixer is
@@ -133,6 +135,7 @@ class FourCastNet(RolloutModel):
     dist_axis: str = "x"
     # False = fast tanh-approx GELU; True = torch-exact erf GELU (parity)
     exact_gelu: bool = False
+    fft_impl: str = "matmul"  # AFNO spectrum: "matmul" (MXU DFT) | "fft"
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -159,6 +162,7 @@ class FourCastNet(RolloutModel):
                 n_modes=tuple(self.n_modes),
                 spmd_mesh=self.spmd_mesh,
                 dist_axis=self.dist_axis,
+                fft_impl=self.fft_impl,
             )(x)
 
         # NOTE: the reference defines a final LayerNorm but never applies it

@@ -30,6 +30,83 @@ def softshrink(x: jax.Array, lambd: float) -> jax.Array:
     return jnp.where(x > lambd, x - lambd, jnp.where(x < -lambd, x + lambd, 0.0))
 
 
+# ---------------------------------------------------------------------------
+# Matmul DFTs: rfft2/irfft2 as real einsums on the MXU.
+#
+# XLA's FFT op on small weather grids is overhead-bound on TPU (and the
+# remote relay compiler is fragile around it); an explicit DFT is O(HW(H+W))
+# flops of dense matmul — negligible at these sizes and it fuses with the
+# surrounding ops.  All arithmetic is real (separate real/imag planes), so
+# no complex64 ever crosses the jit boundary.
+# ---------------------------------------------------------------------------
+
+
+def _dft_mats_w(W: int):
+    """Ortho rfft matrices over the last spatial axis: x[w] -> X[k]."""
+    w = np.arange(W)[:, None]
+    k = np.arange(W // 2 + 1)[None, :]
+    ang = 2 * np.pi * w * k / W
+    cw = (np.cos(ang) / np.sqrt(W)).astype(np.float32)  # [W, Wf]
+    sw = (-np.sin(ang) / np.sqrt(W)).astype(np.float32)
+    return cw, sw
+
+
+def _dft_mats_h(H: int):
+    """Ortho full-DFT matrices over the H axis: [K, H]."""
+    k = np.arange(H)[:, None]
+    h = np.arange(H)[None, :]
+    ang = 2 * np.pi * k * h / H
+    ch = (np.cos(ang) / np.sqrt(H)).astype(np.float32)
+    sh = (np.sin(ang) / np.sqrt(H)).astype(np.float32)
+    return ch, sh
+
+
+def _idft_mats_w(W: int):
+    """Ortho irfft matrices [Wf, W] with hermitian mode doubling."""
+    Wf = W // 2 + 1
+    alpha = np.full(Wf, 2.0)
+    alpha[0] = 1.0
+    if W % 2 == 0:
+        alpha[-1] = 1.0
+    k = np.arange(Wf)[:, None]
+    w = np.arange(W)[None, :]
+    ang = 2 * np.pi * k * w / W
+    icw = (alpha[:, None] * np.cos(ang) / np.sqrt(W)).astype(np.float32)
+    isw = (-alpha[:, None] * np.sin(ang) / np.sqrt(W)).astype(np.float32)
+    return icw, isw
+
+
+def rfft2_matmul(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Ortho rfft2 over axes (1, 2) of [B, H, W, C] via real matmuls.
+
+    Returns (real, imag), each [B, H, W//2+1, C] — numerically the
+    jnp.fft.rfft2(..., norm="ortho") spectrum.
+    """
+    B, H, W, C = x.shape
+    cw, sw = (jnp.asarray(m) for m in _dft_mats_w(W))
+    ch, sh = (jnp.asarray(m) for m in _dft_mats_h(H))
+    xr = jnp.einsum("bhwc,wk->bhkc", x, cw)
+    xi = jnp.einsum("bhwc,wk->bhkc", x, sw)
+    yr = jnp.einsum("gh,bhkc->bgkc", ch, xr) + jnp.einsum("gh,bhkc->bgkc", sh, xi)
+    yi = jnp.einsum("gh,bhkc->bgkc", ch, xi) - jnp.einsum("gh,bhkc->bgkc", sh, xr)
+    return yr, yi
+
+
+def irfft2_matmul(
+    yr: jax.Array, yi: jax.Array, H: int, W: int
+) -> jax.Array:
+    """Inverse of `rfft2_matmul`: [B, H, W//2+1, C] real/imag -> [B, H, W, C]."""
+    ch, sh = (jnp.asarray(m) for m in _dft_mats_h(H))
+    icw, isw = (jnp.asarray(m) for m in _idft_mats_w(W))
+    # ifft over H (adjoint of the ortho forward): (ch + i sh)^T applied
+    zr = jnp.einsum("gh,bgkc->bhkc", ch, yr) - jnp.einsum("gh,bgkc->bhkc", sh, yi)
+    zi = jnp.einsum("gh,bgkc->bhkc", ch, yi) + jnp.einsum("gh,bgkc->bhkc", sh, yr)
+    # irfft over W with hermitian doubling (takes the real part implicitly)
+    return jnp.einsum("bhkc,kw->bhwc", zr, icw) + jnp.einsum(
+        "bhkc,kw->bhwc", zi, isw
+    )
+
+
 class SpectralConv2d(nn.Module):
     """FNO 2D Fourier layer on channels-last inputs [B, H, W, C].
 
@@ -127,6 +204,10 @@ class AFNO2DFilter(nn.Module):
     hidden_size_factor: int = 1
     spmd_mesh: object = None  # jax Mesh: run over the distributed rFFT2
     dist_axis: str = "x"
+    # "matmul" (default): DFT as real einsums + packed complex block-GEMMs —
+    # the whole filter lowers to MXU matmuls (XLA's FFT op is
+    # overhead-bound at weather-grid sizes).  "fft": jnp.fft path.
+    fft_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -139,6 +220,9 @@ class AFNO2DFilter(nn.Module):
         b1 = self.param("b1", lambda k: scale * jax.random.normal(k, (2, nb, bf)))
         w2 = self.param("w2", lambda k: scale * jax.random.normal(k, (2, nb, bf, bs)))
         b2 = self.param("b2", lambda k: scale * jax.random.normal(k, (2, nb, bs)))
+
+        if self.spmd_mesh is None and self.fft_impl == "matmul":
+            return self._matmul_filter(x, nb, bs, bf, w1, b1, w2, b2)
 
         if self.spmd_mesh is not None:
             from dlwpbench_tpu.parallel.spectral_dist import make_dist_afno_filter
@@ -185,4 +269,47 @@ class AFNO2DFilter(nn.Module):
         out_i = softshrink(out_i, self.sparsity_threshold)
         xf = (out_r + 1j * out_i).reshape(B, H, W // 2 + 1, C)
         out = jnp.fft.irfft2(xf, s=(H, W), axes=(1, 2), norm="ortho")
+        return out.astype(dtype) + bias
+
+    def _matmul_filter(self, x, nb, bs, bf, w1, b1, w2, b2):
+        """AFNO entirely as MXU matmuls: DFT-by-einsum spectrum + the
+        two-layer complex block-MLP packed into real GEMMs
+        ([Ar, Ai] @ [[W0, W1], [-W1, W0]] = [Or, Oi], K/N doubled), so no
+        FFT op, no complex dtype, 4x larger GEMM tiles than the per-plane
+        einsum formulation."""
+        bias = x
+        dtype = x.dtype
+        B, H, W, C = x.shape
+        Wf = W // 2 + 1
+        yr, yi = rfft2_matmul(x.astype(jnp.float32))  # [B, H, Wf, C]
+
+        total_modes = H // 2 + 1
+        kept = int(total_modes * self.hard_thresholding_fraction)
+        r0, r1 = total_modes - kept, min(total_modes + kept, H)
+        sl_r = yr[:, r0:r1, :kept].reshape(B, r1 - r0, kept, nb, bs)
+        sl_i = yi[:, r0:r1, :kept].reshape(B, r1 - r0, kept, nb, bs)
+
+        def pack_w(w):  # [2, nb, i, o] -> [nb, 2i, 2o]
+            w0, wim = w[0], w[1]
+            top = jnp.concatenate([w0, wim], axis=-1)  # [nb, i, 2o]
+            bot = jnp.concatenate([-wim, w0], axis=-1)
+            return jnp.concatenate([top, bot], axis=-2)  # [nb, 2i, 2o]
+
+        a = jnp.concatenate([sl_r, sl_i], axis=-1)  # [B, r, k, nb, 2bs]
+        o1 = jax.nn.relu(
+            jnp.einsum("...bi,bio->...bo", a, pack_w(w1))
+            + jnp.concatenate([b1[0], b1[1]], -1)
+        )
+        o2 = jnp.einsum("...bi,bio->...bo", o1, pack_w(w2)) + jnp.concatenate(
+            [b2[0], b2[1]], -1
+        )
+        o2r, o2i = o2[..., :bs], o2[..., bs:]
+
+        out_r = jnp.zeros((B, H, Wf, nb, bs), jnp.float32)
+        out_i = jnp.zeros((B, H, Wf, nb, bs), jnp.float32)
+        out_r = out_r.at[:, r0:r1, :kept].set(softshrink(o2r, self.sparsity_threshold))
+        out_i = out_i.at[:, r0:r1, :kept].set(softshrink(o2i, self.sparsity_threshold))
+        out = irfft2_matmul(
+            out_r.reshape(B, H, Wf, C), out_i.reshape(B, H, Wf, C), H, W
+        )
         return out.astype(dtype) + bias

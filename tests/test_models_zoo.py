@@ -390,3 +390,56 @@ class TestTorusMesh:
                 filter="SFNO",
             )
         )
+
+
+class TestMatmulDFT:
+    """Matmul-DFT spectrum ops (ops/spectral.py): the AFNO hot path with no
+    FFT op — everything lowers to MXU GEMMs (VERDICT round-1 item 8)."""
+
+    def test_rfft2_matmul_matches_fft(self):
+        from dlwpbench_tpu.ops.spectral import rfft2_matmul
+
+        x = np.random.default_rng(0).standard_normal((2, 16, 24, 3)).astype(np.float32)
+        ref = np.fft.rfft2(x, axes=(1, 2), norm="ortho")
+        yr, yi = rfft2_matmul(jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(yr), ref.real, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(yi), ref.imag, atol=1e-4)
+
+    def test_irfft2_matmul_roundtrip(self):
+        from dlwpbench_tpu.ops.spectral import irfft2_matmul, rfft2_matmul
+
+        for H, W in [(8, 16), (9, 14), (16, 33)]:
+            x = np.random.default_rng(1).standard_normal((1, H, W, 2)).astype(np.float32)
+            yr, yi = rfft2_matmul(jnp.asarray(x))
+            back = irfft2_matmul(yr, yi, H, W)
+            np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
+
+    def test_afno_matmul_path_matches_fft_path(self):
+        from dlwpbench_tpu.ops.spectral import AFNO2DFilter
+
+        x = jnp.asarray(
+            np.random.default_rng(2).standard_normal((2, 16, 24, 8)), jnp.float32
+        )
+        fm = AFNO2DFilter(hidden_size=8, num_blocks=4,
+                          hard_thresholding_fraction=0.7, fft_impl="matmul")
+        ff = AFNO2DFilter(hidden_size=8, num_blocks=4,
+                          hard_thresholding_fraction=0.7, fft_impl="fft")
+        params = fm.init(jax.random.PRNGKey(3), x)
+        ym = np.asarray(fm.apply(params, x))
+        yf = np.asarray(ff.apply(params, x))
+        np.testing.assert_allclose(ym, yf, atol=2e-4)
+
+    def test_afno_matmul_gradients_match(self):
+        from dlwpbench_tpu.ops.spectral import AFNO2DFilter
+
+        x = jnp.asarray(
+            np.random.default_rng(4).standard_normal((1, 8, 12, 8)), jnp.float32
+        )
+        fm = AFNO2DFilter(hidden_size=8, num_blocks=2, fft_impl="matmul")
+        ff = AFNO2DFilter(hidden_size=8, num_blocks=2, fft_impl="fft")
+        params = fm.init(jax.random.PRNGKey(5), x)
+        gm = jax.grad(lambda p: (fm.apply(p, x) ** 2).mean())(params)
+        gf = jax.grad(lambda p: (ff.apply(p, x) ** 2).mean())(params)
+        for a, b in zip(jax.tree.leaves(gm), jax.tree.leaves(gf)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-3, atol=1e-5)

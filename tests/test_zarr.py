@@ -193,3 +193,66 @@ class TestWeatherBenchZarrSource:
         tr.fit(state, train, val, batch_size=4, verbose=False,
                on_epoch_end=lambda st, tl, vl, pl: seen.append((tl, vl)))
         assert seen and np.isfinite(seen[-1][0]) and np.isfinite(seen[-1][1])
+
+
+class TestEC46Regrid:
+    """scripts/ec46_regrid.py — the reference's EC46/ERA5 -> 5.625-degree
+    linear regridder (`data/processing/EC46_regridding.py:5-77`)."""
+
+    def _make_src(self, path, H=64, W=128, lon_convention_180=False):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+        from dlwpbench_tpu.data import zarr_lite
+
+        lat = np.linspace(-89, 89, H).astype(np.float32)
+        lon = (np.arange(W) * (360.0 / W)).astype(np.float32)
+        if lon_convention_180:
+            lon = ((lon + 180) % 360) - 180
+        lat2d = lat[:, None] * np.ones((1, W), np.float32)
+        data = np.broadcast_to(lat2d, (4, H, W)).astype(np.float32)
+        zarr_lite.write_dataset(
+            path,
+            {"tisr": (("time", "lat", "lon"), data)},
+            {"time": (("time",), np.arange(4, dtype="int64"),
+                      {"units": "hours since 2017-01-01"}),
+             "lat": (("lat",), lat), "lon": (("lon",), lon)},
+        )
+
+    def test_regrid_to_5p625(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+        import ec46_regrid
+
+        from dlwpbench_tpu.data import zarr_lite
+
+        src = tmp_path / "src"
+        self._make_src(str(src / "tisr_2017.zarr"))
+        ec46_regrid.main(["--src", str(src), "--dst", str(tmp_path / "dst")])
+        g = zarr_lite.ZarrGroup.open(
+            str(tmp_path / "dst" / "tisr_2017_5.625deg.zarr")
+        )
+        out = g["tisr"].read()
+        assert out.shape == (4, 32, 64)
+        # a purely latitude-dependent field regrids to the target latitudes
+        np.testing.assert_allclose(
+            out[0, :, 0], ec46_regrid.TARGET_LAT, atol=0.2
+        )
+        np.testing.assert_allclose(g["lat"].read(), ec46_regrid.TARGET_LAT)
+
+    def test_longitude_convention_flip(self, tmp_path):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+        import ec46_regrid
+
+        from dlwpbench_tpu.data import zarr_lite
+
+        src = tmp_path / "s2"
+        self._make_src(str(src / "x.zarr"), lon_convention_180=True)
+        ec46_regrid.main(["--src", str(src), "--dst", str(tmp_path / "d2")])
+        g = zarr_lite.ZarrGroup.open(str(tmp_path / "d2" / "x_5.625deg.zarr"))
+        out = g["tisr"].read()
+        assert out.shape == (4, 32, 64)
+        assert np.isfinite(out).all()
