@@ -256,3 +256,39 @@ class TestEC46Regrid:
         out = g["tisr"].read()
         assert out.shape == (4, 32, 64)
         assert np.isfinite(out).all()
+
+
+class TestNcToZarr:
+    def test_netcdf3_roundtrip(self, tmp_path):
+        """The converter executes without xarray: classic netCDF3 written by
+        scipy converts to a zarr store readable by the WeatherBench source."""
+        import sys
+
+        from scipy.io import netcdf_file
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+        import nc_to_zarr
+
+        from dlwpbench_tpu.data import zarr_lite
+
+        src = tmp_path / "nc"
+        os.makedirs(src)
+        data = np.random.default_rng(3).standard_normal((5, 4, 8)).astype(np.float32)
+        with netcdf_file(str(src / "msl_1979.nc"), "w") as f:
+            f.createDimension("time", 5)
+            f.createDimension("lat", 4)
+            f.createDimension("lon", 8)
+            t = f.createVariable("time", "i", ("time",))
+            t[:] = np.arange(5)
+            t.units = b"hours since 1979-01-01 00:00:00"
+            la = f.createVariable("lat", "f", ("lat",))
+            la[:] = np.linspace(-60, 60, 4)
+            lo = f.createVariable("lon", "f", ("lon",))
+            lo[:] = np.arange(8) * 45.0
+            v = f.createVariable("msl", "f", ("time", "lat", "lon"))
+            v[:] = data
+        nc_to_zarr.main([str(src), str(tmp_path / "zarr")])
+        g = zarr_lite.ZarrGroup.open(str(tmp_path / "zarr" / "msl_1979.zarr"))
+        np.testing.assert_allclose(g["msl"].read(), data, rtol=1e-6)
+        times = zarr_lite.read_time_coord(g["time"])
+        assert times[1] == np.datetime64("1979-01-01T01:00:00")
