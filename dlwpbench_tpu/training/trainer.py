@@ -71,12 +71,20 @@ class Trainer:
         num_refinement_steps: int = 5,
         min_noise_std: float = 4e-4,
         ema_decay: float = 0.995,
+        compute_dtype: str | None = None,
     ):
         self.model = model
         self.base_lr = learning_rate
         self.epochs = epochs
         self.clip_gradients = clip_gradients
         self.accum = gradient_accumulation_steps
+        # Mixed precision ("bfloat16"): forward/backward compute in bf16
+        # (params + batch cast inside the loss; flax layers follow input
+        # dtype), while master params, gradients and AdamW state stay fp32.
+        # The standard TPU recipe — MXU peak is bf16 and HBM traffic halves.
+        self.compute_dtype = (
+            None if compute_dtype in (None, "float32") else jnp.dtype(compute_dtype)
+        )
         self.lat_weights = None if lat_weights is None else jnp.asarray(lat_weights)
         self.seed = seed
         self.training_type = training_type
@@ -116,11 +124,27 @@ class Trainer:
         return sum(int(x.size) for x in jax.tree.leaves(state.params))
 
     # ------------------------------------------------------------------
+    def _cast_compute(self, *trees):
+        """Cast float arrays to the compute dtype (no-op when fp32)."""
+        if self.compute_dtype is None:
+            return trees
+
+        def cast(x):
+            if x is not None and jnp.issubdtype(x.dtype, jnp.floating):
+                return x.astype(self.compute_dtype)
+            return x
+
+        return tuple(
+            None if t is None else jax.tree.map(cast, t) for t in trees
+        )
+
     def _loss_fn(self, params, const, pres, prog, target, rng):
         if self.training_type == "diffusion":
             return self._diffusion_loss(params, const, pres, prog, target, rng)
+        params, const, pres, prog = self._cast_compute(params, const, pres, prog)
         out = self.model.apply(params, const, pres, prog)
-        return mse_loss(out, target), out
+        # loss in fp32 regardless of compute dtype
+        return mse_loss(out.astype(jnp.float32), target), out
 
     def _diffusion_loss(self, params, const, pres, prog, target, rng):
         """v-prediction diffusion loss (reference `train.py:226-258`)."""
@@ -136,6 +160,9 @@ class Trainer:
         target_res = target - prog[:, ctx - 1 : ctx]
         noise = jax.random.normal(kn, target_res.shape, target_res.dtype)
         y_noised = ddpm_ops.add_noise(self._sched, target_res, noise, k)
+        params, const, pres, prog, y_noised = self._cast_compute(
+            params, const, pres, prog, y_noised
+        )
         out = self.model.apply(
             params,
             const,
@@ -146,7 +173,7 @@ class Trainer:
             method="single_forward",
         )
         v_target = ddpm_ops.v_prediction_target(self._sched, target_res, noise, k)
-        return mse_loss(out[:, None], v_target), out
+        return mse_loss(out[:, None].astype(jnp.float32), v_target), out
 
     def _train_step_impl(self, params, opt_state, const, pres, prog, target, lr, rng):
         """One optimizer step over `accum` micro-batches (scan if accum>1)."""

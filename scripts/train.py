@@ -73,6 +73,7 @@ def main(argv):
         num_refinement_steps=int(cfg.training.get("num_refinement_steps", 5)),
         min_noise_std=float(cfg.training.get("min_noise_std", 4e-4)),
         ema_decay=float(cfg.training.get("ema_decay", 0.995)),
+        compute_dtype=cfg.training.get("compute_dtype"),
     )
 
     first = next(iter(train_ds.batches(1)))

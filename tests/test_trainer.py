@@ -141,3 +141,64 @@ class TestRemat:
                 lambda a, b: float(jnp.abs(a - b).max()), g0, gp
             )
             assert max(jax.tree.leaves(diff)) < 1e-5
+
+
+class TestMixedPrecision:
+    def test_bf16_compute_fp32_master(self):
+        """compute_dtype='bfloat16': forward/backward in bf16, master params
+        and AdamW state stay fp32, loss trajectory tracks the fp32 run."""
+        import jax
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.models.unet import UNet
+        from dlwpbench_tpu.training.trainer import Trainer
+
+        ds = _make_ds(T=64)
+        kw = dict(constant_channels=0, prescribed_channels=0,
+                  prognostic_channels=2, hidden_channels=(8,), context_size=1)
+
+        losses = {}
+        for dtype in (None, "bfloat16"):
+            tr = Trainer(UNet(**kw), epochs=3, learning_rate=1e-3,
+                         compute_dtype=dtype)
+            state = tr.init(next(iter(ds.batches(2))))
+            assert all(
+                x.dtype == jnp.float32
+                for x in jax.tree.leaves(state.params)
+            )
+            seen = []
+            tr.fit(state, ds, ds, batch_size=8, verbose=False,
+                   on_epoch_end=lambda st, tl, vl, pl: seen.append(tl))
+            # master params stay fp32 after bf16 steps
+            assert all(
+                x.dtype == jnp.float32
+                for x in jax.tree.leaves(state.params)
+            )
+            losses[dtype] = seen
+        assert losses["bfloat16"][-1] < losses["bfloat16"][0]  # it learns
+        # bf16 loss within 20% of fp32 at every epoch
+        for a, b in zip(losses[None], losses["bfloat16"]):
+            assert abs(a - b) / a < 0.2
+
+    def test_bf16_diffusion_step_finite(self):
+        import numpy as np
+
+        from dlwpbench_tpu.models.modern_unet import DiffModernUNet
+        from dlwpbench_tpu.training.trainer import Trainer
+
+        model = DiffModernUNet(constant_channels=0, prescribed_channels=0,
+                               prognostic_channels=2, hidden_channels=(8, 16),
+                               context_size=1)
+        tr = Trainer(model, epochs=1, learning_rate=1e-3,
+                     training_type="diffusion", compute_dtype="bfloat16")
+        rng = np.random.default_rng(0)
+        prog = rng.standard_normal((4, 2, 2, 8, 16)).astype(np.float32)
+        state = tr.init((None, None, prog, prog[:, 1:]))
+        import jax.numpy as jnp
+
+        _, _, loss = tr._train_step(
+            state.params, state.opt_state, None, None,
+            jnp.asarray(prog), jnp.asarray(prog[:, 1:]),
+            jnp.float32(1e-3), __import__("jax").random.PRNGKey(0),
+        )
+        assert np.isfinite(float(loss))
