@@ -97,14 +97,27 @@ def build(family, width, H, W, Cc, Cp, Cq, nside=None):
         return SFNO2DModule(embed_dim=d, num_layers=4, height=H, width=W, **kw)
     if family == "swin":
         from dlwpbench_tpu.models.swin import SwinTransformer
-        d = 24 * max(1, round(width / 24))  # heads (3,6), head_dim % 8 == 0
+        if width < 48:  # small rungs: fewer heads, finer embed quantization
+            d = 8 * max(1, round(width / 8))
+            heads = (1, 2)
+        else:
+            d = 24 * max(1, round(width / 24))  # heads (3,6), head_dim % 8 == 0
+            heads = (3, 6)
         return SwinTransformer(img_height=H, img_width=W, embed_dim=d,
-                               depths=(4, 4), num_heads=(3, 6),
+                               depths=(4, 4), num_heads=heads,
                                use_flash_attention=True, **kw)
     if family == "pangu":
         from dlwpbench_tpu.models.pangu import PanguWeather
-        d = 48 * max(1, round(width / 48))  # heads (6,12), head_dim % 8 == 0
-        return PanguWeather(embed_dim=d, num_heads=(6, 12, 12, 6),
+        if width < 24:  # smallest rungs
+            d = 8 * max(1, round(width / 8))
+            heads = (1, 2, 2, 1)
+        elif width < 72:  # small rungs: fewer heads so embed can shrink
+            d = 16 * max(1, round(width / 16))  # heads (2,4), head_dim % 8 == 0
+            heads = (2, 4, 4, 2)
+        else:
+            d = 48 * max(1, round(width / 48))  # heads (6,12), head_dim % 8 == 0
+            heads = (6, 12, 12, 6)
+        return PanguWeather(embed_dim=d, num_heads=heads,
                             patch_size=(1, 1), n_lat=H, n_lon=W, **kw)
     if family == "mgn":
         from dlwpbench_tpu.models.mgn import MeshGraphNet
