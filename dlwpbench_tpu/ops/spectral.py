@@ -161,15 +161,7 @@ class SpectralConv2d(nn.Module):
                 )
                 for i, (d, r) in enumerate(zip(dims, core_dims))
             ]
-            w = jnp.einsum(
-                "abcdx,ia,jb,kc,ld->ijklx",
-                core,
-                factors[0],
-                factors[1],
-                factors[2],
-                factors[3],
-            )
-            return w
+            return (core, factors)
 
         w1 = weight("weights1")
         w2 = weight("weights2")
@@ -177,7 +169,20 @@ class SpectralConv2d(nn.Module):
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))  # [B,H,Wf,C]
 
         def mix(block, w):
-            # block: [B, m1, m2, Cin] complex; w: [Cin, Cout, m1, m2, 2]
+            # block: [B, m1, m2, Cin] complex
+            if isinstance(w, tuple):
+                # Tucker path: contract THROUGH the factors — the dense
+                # [Cin, Cout, m1, m2] weight is never materialized (its
+                # reconstruction costs ~r0 x the apply itself and dominated
+                # the TFNO train step at 64M+ params).  opt_einsum picks
+                # the factored contraction order.
+                core, (fi, fo, fx, fy) = w
+                cc = core[..., 0] + 1j * core[..., 1]
+                # core dims w,q,u,v = (r_in, r_out, r_m1, r_m2)
+                return jnp.einsum(
+                    "bxyi,wquv,iw,oq,xu,yv->bxyo",
+                    block, cc, fi, fo, fx, fy, optimize=True,
+                )
             wc = w[..., 0] + 1j * w[..., 1]
             return jnp.einsum("bxyi,ioxy->bxyo", block, wc)
 

@@ -443,3 +443,29 @@ class TestMatmulDFT:
         for a, b in zip(jax.tree.leaves(gm), jax.tree.leaves(gf)):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-3, atol=1e-5)
+
+    def test_tucker_factored_contraction_matches_reconstruction(self):
+        """The Tucker path contracts through the factors (never building the
+        dense [Cin,Cout,m1,m2] weight); must equal reconstruct-then-mix."""
+        from dlwpbench_tpu.ops.spectral import SpectralConv2d
+
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((2, 16, 16, 8)), jnp.float32
+        )
+        layer = SpectralConv2d(out_channels=8, modes1=6, modes2=6,
+                               tucker_rank=0.5)
+        params = layer.init(jax.random.PRNGKey(1), x)
+        y = np.asarray(layer.apply(params, x))
+
+        # oracle: reconstruct dense weights and redo the full op in numpy
+        p = params["params"]
+        xf = np.fft.rfft2(np.asarray(x), axes=(1, 2))
+        out_ft = np.zeros((2, 16, 9, 8), np.complex64)
+        for name, sl in (("weights1", slice(0, 6)), ("weights2", slice(10, 16))):
+            core = np.asarray(p[f"{name}_core"])
+            cc = core[..., 0] + 1j * core[..., 1]
+            f = [np.asarray(p[f"{name}_factor{i}"]) for i in range(4)]
+            dense = np.einsum("wquv,iw,oq,xu,yv->ioxy", cc, f[0], f[1], f[2], f[3])
+            out_ft[:, sl, :6] = np.einsum("bxyi,ioxy->bxyo", xf[:, sl, :6], dense)
+        ref = np.fft.irfft2(out_ft, s=(16, 16), axes=(1, 2))
+        np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
