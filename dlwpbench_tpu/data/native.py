@@ -110,3 +110,81 @@ def add_gaussian_noise(
         arr.size, float(noise_std), int(seed) & (2**64 - 1), int(n_threads),
     )
     return arr
+
+
+# ---------------------------------------------------------------------------
+# Native zarr chunk decoder (src/native/zarr_decoder.cpp): multithreaded
+# file-read + zlib-inflate into a chunk arena, GIL-free.  zarr_lite uses it
+# for multi-chunk arrays; edge-chunk trimming stays vectorized numpy.
+# ---------------------------------------------------------------------------
+
+_ZSRC = os.path.join(os.path.dirname(_SRC), "zarr_decoder.cpp")
+_ZSO = os.path.splitext(_ZSRC)[0] + ".so"
+_zlib_handle = None
+_zfailed = False
+
+
+def _zload():
+    global _zlib_handle, _zfailed
+    if _zlib_handle is not None or _zfailed:
+        return _zlib_handle
+    with _lock:
+        if _zlib_handle is not None or _zfailed:
+            return _zlib_handle
+        try:
+            if not os.path.exists(_ZSO) or os.path.getmtime(_ZSO) < os.path.getmtime(_ZSRC):
+                subprocess.run(
+                    [
+                        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+                        "-std=c++17", "-pthread", _ZSRC, "-o", _ZSO, "-lz",
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_ZSO)
+            lib.decode_zarr_chunks.argtypes = [
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+            ]
+            _zlib_handle = lib
+        except Exception:
+            _zfailed = True
+        return _zlib_handle
+
+
+def zarr_decoder_available() -> bool:
+    return _zload() is not None
+
+
+def decode_chunks(
+    paths: list, compressed: bool, chunk_nbytes: int, n_threads: int = 8
+):
+    """Read+decode chunk files in parallel -> (arena [n, chunk_nbytes] uint8,
+    ok [n] bool).  Returns None when the native decoder is unavailable."""
+    lib = _zload()
+    if lib is None:
+        return None
+    enc = [p.encode() for p in paths]
+    offsets = np.zeros(len(enc), np.int64)
+    pos = 0
+    blob = bytearray()
+    for i, e in enumerate(enc):
+        offsets[i] = pos
+        blob += e + b"\0"
+        pos += len(e) + 1
+    arena = np.empty((len(enc), chunk_nbytes), np.uint8)
+    ok = np.zeros(len(enc), np.uint8)
+    comp = np.full(len(enc), 1 if compressed else 0, np.uint8)
+    lib.decode_zarr_chunks(
+        bytes(blob),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(enc),
+        comp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arena.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(chunk_nbytes),
+        ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        int(n_threads),
+    )
+    return arena, ok.astype(bool)

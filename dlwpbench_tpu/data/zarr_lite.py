@@ -113,15 +113,38 @@ class ZarrArray:
             (s + c - 1) // c for s, c in zip(shape, chunks)
         ]
         sep = self.meta.get("dimension_separator", ".")
-        for idx in np.ndindex(*grid):
-            key = sep.join(str(i) for i in idx)
-            fp = os.path.join(self.path, key)
-            if not os.path.exists(fp):
-                continue  # missing chunk -> fill_value
-            raw = _decode_chunk(
-                open(fp, "rb").read(), self.meta.get("compressor")
+        idx_list = list(np.ndindex(*grid))
+        paths = [
+            os.path.join(self.path, sep.join(str(i) for i in idx))
+            for idx in idx_list
+        ]
+        comp = self.meta.get("compressor")
+        chunk_nbytes = int(np.prod(chunks)) * dt.itemsize
+
+        # Native path: multithreaded read+inflate into an arena (GIL-free
+        # C++, src/native/zarr_decoder.cpp); scatter stays vectorized here.
+        decoded = None
+        if len(idx_list) > 1 and (
+            comp is None or comp.get("id") in ("zlib", "gzip")
+        ):
+            from dlwpbench_tpu.data import native
+
+            decoded = native.decode_chunks(
+                paths, compressed=comp is not None, chunk_nbytes=chunk_nbytes
             )
-            block = np.frombuffer(raw, dt).reshape(chunks)
+
+        for j, idx in enumerate(idx_list):
+            if decoded is not None:
+                arena, ok = decoded
+                if not ok[j]:
+                    continue  # missing chunk -> fill_value
+                block = arena[j].view(dt).reshape(chunks)
+            else:
+                fp = paths[j]
+                if not os.path.exists(fp):
+                    continue  # missing chunk -> fill_value
+                raw = _decode_chunk(open(fp, "rb").read(), comp)
+                block = np.frombuffer(raw, dt).reshape(chunks)
             slices = tuple(
                 slice(i * c, min((i + 1) * c, s))
                 for i, c, s in zip(idx, chunks, shape)
@@ -208,10 +231,14 @@ def write_array(
     dims,
     chunks=None,
     attrs: dict | None = None,
-    compressor: dict | None = None,
+    compressor: dict | str | None = "default",
 ) -> None:
-    """Write one zarr v2 array with xarray's `_ARRAY_DIMENSIONS` attr."""
-    if compressor is None:
+    """Write one zarr v2 array with xarray's `_ARRAY_DIMENSIONS` attr.
+
+    compressor: "default" -> zlib level 5; None -> uncompressed (raw);
+    or an explicit zarr compressor dict.
+    """
+    if compressor == "default":
         compressor = {"id": "zlib", "level": 5}
     os.makedirs(path, exist_ok=True)
     data = np.ascontiguousarray(data)

@@ -292,3 +292,40 @@ class TestNcToZarr:
         np.testing.assert_allclose(g["msl"].read(), data, rtol=1e-6)
         times = zarr_lite.read_time_coord(g["time"])
         assert times[1] == np.datetime64("1979-01-01T01:00:00")
+
+
+class TestNativeDecoder:
+    def test_native_chunk_decode_matches_python(self, tmp_path):
+        """C++ multithreaded chunk decoder (src/native/zarr_decoder.cpp)
+        produces the same array as the pure-Python path, including missing
+        chunks and partial edge chunks."""
+        from dlwpbench_tpu.data import native, zarr_lite
+
+        if not native.zarr_decoder_available():
+            pytest.skip("no toolchain for the native decoder")
+        rng = np.random.default_rng(5)
+        data = rng.standard_normal((50, 7, 9)).astype(np.float32)
+        p = str(tmp_path / "arr")
+        zarr_lite.write_array(p, data, dims=("t", "y", "x"), chunks=(16, 4, 9))
+        os.remove(os.path.join(p, "1.0.0"))  # hole -> fill value
+        arr = zarr_lite.ZarrArray.open(p)
+        out_native = arr.read()
+
+        # force the python path for the oracle
+        import unittest.mock as mock
+
+        with mock.patch.object(native, "decode_chunks", lambda *a, **k: None):
+            out_py = zarr_lite.ZarrArray.open(p).read()
+        np.testing.assert_array_equal(out_native, out_py)
+        assert out_native[16:32, :4].sum() == 0.0  # hole filled
+
+    def test_native_decoder_uncompressed(self, tmp_path):
+        from dlwpbench_tpu.data import native, zarr_lite
+
+        if not native.zarr_decoder_available():
+            pytest.skip("no toolchain for the native decoder")
+        data = np.arange(240, dtype="<i8").reshape(20, 12)
+        p = str(tmp_path / "raw")
+        zarr_lite.write_array(p, data, dims=("a", "b"), chunks=(8, 12),
+                              compressor=None)
+        np.testing.assert_array_equal(zarr_lite.ZarrArray.open(p).read(), data)
