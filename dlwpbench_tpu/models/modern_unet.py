@@ -263,6 +263,7 @@ class ModernUNetCore(nn.Module):
         hc = list(self.hidden_channels)
         variant = self.variant
         blk_norm = self.norm if variant == "upstream" else False
+        in_hw = x.shape[1:3]
         skips = []
         # encoder
         for lvl, ch in enumerate(hc):
@@ -301,14 +302,21 @@ class ModernUNetCore(nn.Module):
         )(x, emb)
 
         # decoder
+        def match_skip(x, skip):
+            # odd grids (2.0-degree 90x180): stride-2 downsample rounds up,
+            # upsampling doubles — crop back to the skip's spatial shape
+            if self.mesh != "healpix" and x.shape[1:3] != skip.shape[1:3]:
+                x = x[:, : skip.shape[1], : skip.shape[2]]
+            return x
+
         rev = hc[::-1]
         for i, ch in enumerate(rev):
             if variant == "upstream":
                 skip = skips[len(hc) - 1 - i]
-                x = jnp.concatenate([skip, x], axis=-1)
+                x = jnp.concatenate([skip, match_skip(x, skip)], axis=-1)
             elif variant == "diffusion" and i > 0:
                 skip = skips[len(hc) - 1 - i]
-                x = jnp.concatenate([skip, x], axis=-1)
+                x = jnp.concatenate([skip, match_skip(x, skip)], axis=-1)
             x = ResidualBlock(
                 ch, self.activation, blk_norm, mesh=self.mesh,
                 use_scale_shift_norm=self.use_scale_shift_norm,
@@ -339,6 +347,8 @@ class ModernUNetCore(nn.Module):
                     else:
                         x = up(x)
 
+        if self.mesh != "healpix" and x.shape[1:3] != in_hw:
+            x = x[:, : in_hw[0], : in_hw[1]]  # odd-grid final crop
         x = GroupNormCL(4 if variant == "diffusion" else 8)(x)
         x = act(x)
         return ZeroConv(self.out_channels, 1, mesh=self.mesh)(x)

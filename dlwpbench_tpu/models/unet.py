@@ -55,6 +55,17 @@ class UNet(RolloutModel):
         skips = []
         for lvl, ch in enumerate(hc):
             if lvl > 0:
+                if self.mesh != "healpix" and (
+                    x.shape[1] % 2 or x.shape[2] % 2
+                ):
+                    # odd grid (e.g. 2.0-degree 90x180): edge-replicate one
+                    # row/col so pooling halves exactly; the decoder crops
+                    # back to the skip's shape after upsampling.
+                    x = jnp.pad(
+                        x,
+                        ((0, 0), (0, x.shape[1] % 2), (0, x.shape[2] % 2), (0, 0)),
+                        mode="edge",
+                    )
                 x = avg_pool_2x(x, self.mesh)
             n_convs = (
                 self.n_convolutions // 2 if lvl == n_levels - 1 else self.n_convolutions
@@ -67,7 +78,10 @@ class UNet(RolloutModel):
         rev = hc[::-1]
         for i, ch in enumerate(rev):
             if i > 0:
-                x = jnp.concatenate([skips[n_levels - 1 - i], x], axis=-1)
+                skip = skips[n_levels - 1 - i]
+                if self.mesh != "healpix" and x.shape[1:3] != skip.shape[1:3]:
+                    x = x[:, : skip.shape[1], : skip.shape[2]]
+                x = jnp.concatenate([skip, x], axis=-1)
             n_convs = self.n_convolutions // 2 if i == 0 else self.n_convolutions
             for _ in range(n_convs):
                 x = act(GeoConv(ch, 3, mesh=self.mesh)(x))

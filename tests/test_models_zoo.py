@@ -469,3 +469,40 @@ class TestMatmulDFT:
             out_ft[:, sl, :6] = np.einsum("bxyi,ioxy->bxyo", xf[:, sl, :6], dense)
         ref = np.fft.irfft2(out_ft, s=(16, 16), axes=(1, 2))
         np.testing.assert_allclose(y, ref, rtol=1e-4, atol=1e-5)
+
+
+class TestOddGrids:
+    """2.0-degree WeatherBench is 90x180 — odd heights after one pooling.
+    UNet pads-then-pools (edge replicate) and crops at skip concat;
+    ModernUNet crops after upsampling (reference data configs
+    full_hpx32/half_hpx8 use 90x180)."""
+
+    @pytest.mark.parametrize("H,W", [(90, 180), (45, 90)])
+    def test_unet_odd_grid(self, H, W):
+        from dlwpbench_tpu.models.unet import UNet
+
+        m = UNet(constant_channels=1, prescribed_channels=0,
+                 prognostic_channels=2, hidden_channels=(8, 16, 32),
+                 context_size=1)
+        prog = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 3, 2, H, W)),
+            jnp.float32)
+        const = jnp.zeros((1, 1, 1, H, W), jnp.float32)
+        p = m.init(jax.random.PRNGKey(0), const, None, prog)
+        out = m.apply(p, const, None, prog)
+        assert out.shape == (1, 2, 2, H, W)
+        assert np.isfinite(np.asarray(out)).all()
+
+    @pytest.mark.parametrize("variant", ["upstream", "reference", "diffusion"])
+    def test_modern_unet_odd_grid(self, variant):
+        from dlwpbench_tpu.models.modern_unet import ModernUNetCore
+
+        core = ModernUNetCore(out_channels=2, hidden_channels=(8, 16, 32),
+                              variant=variant)
+        x = jnp.asarray(
+            np.random.default_rng(1).standard_normal((1, 45, 90, 4)),
+            jnp.float32)
+        p = core.init(jax.random.PRNGKey(0), x)
+        out = core.apply(p, x)
+        assert out.shape == (1, 45, 90, 2)
+        assert np.isfinite(np.asarray(out)).all()
