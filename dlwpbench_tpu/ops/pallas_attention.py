@@ -41,8 +41,12 @@ def reference_attention(q, k, v, bias, scale):
     return jnp.einsum("bhnm,bhmd->bhnd", p, v)
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, block_k, n_kv):
-    # block shapes: q [1,1,block_q,D]; k/v [1,1,N,D]; bias [1,1,block_q,N]
+def _attn_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, block_k, n_kv
+):
+    # block shapes: q [1,1,block_q,D]; k/v [1,1,N,D]; bias [1,1,block_q,N];
+    # lse out [1,1,block_q,1] (log-sum-exp per row, consumed by the flash
+    # backward kernels)
     q = q_ref[0, 0] * scale
     D = q.shape[-1]
     bq = q.shape[0]
@@ -73,8 +77,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale, block_k, n_kv):
     acc0 = jnp.zeros((bq, D), jnp.float32)
     m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, _, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
+    acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0, 0] = m + jnp.log(l)
 
 
 @functools.partial(
@@ -106,9 +111,12 @@ def _flash_impl(
     kernel = functools.partial(
         _attn_kernel, scale=scale, block_k=block_k, n_kv=N // block_k
     )
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, N, 1), jnp.float32),
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
@@ -118,48 +126,213 @@ def _flash_impl(
                 (1, 1, block_q, N), lambda b, h, i: (jax.lax.rem(b, G), h, i, 0)
             ),
         ],
-        out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+        ),
         interpret=interpret,
     )(q, k, v, bias)
-    return out
+    return out, lse
+
+
+def _bwd_dq_dbias_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, drow_ref,
+    dq_ref, dbias_ref, *, scale, block_k, n_kv, n_member,
+):
+    """dQ + dBias, grid (G, H, Nq_blocks, B//G) — the member index j is the
+    INNERMOST (sequential) grid dim, so the dbias output block (indexed by
+    (g, h, i) only) is revisited on consecutive steps and accumulates the
+    group's dS sum; dq is per-batch (b = g + j*G) and written once."""
+    j = pl.program_id(3)
+    q = q_ref[0, 0] * scale
+    do = do_ref[0, 0].astype(jnp.float32)
+    lse = lse_ref[0, 0]  # [bq, 1]
+    drow = drow_ref[0, 0]  # [bq, 1]
+    D = q.shape[-1]
+    bq = q.shape[0]
+
+    @pl.when(j == 0)
+    def _init():
+        dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    def body(i, dq_acc):
+        k_blk = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
+        b_blk = bias_ref[0, 0, :, pl.ds(i * block_k, block_k)]
+        s = (
+            jax.lax.dot_general(
+                q, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b_blk
+        )
+        p = jnp.exp(s - lse)  # [bq, bk]
+        dp = jax.lax.dot_general(
+            do, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - drow)
+        sl = pl.ds(i * block_k, block_k)
+        dbias_ref[0, 0, :, sl] = dbias_ref[0, 0, :, sl] + ds
+        return dq_acc + jax.lax.dot_general(
+            ds, k_blk, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    dq = jax.lax.fori_loop(0, n_kv, body, jnp.zeros((bq, D), jnp.float32))
+    dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, drow_ref,
+    dk_ref, dv_ref, *, scale, block_q, n_q,
+):
+    """dK + dV, grid (B, H, Nk_blocks): k/v blocks resident, q/dO stream."""
+    k_blk = k_ref[0, 0]  # [bk, D]
+    v_blk = v_ref[0, 0]
+    D = k_blk.shape[-1]
+    bk = k_blk.shape[0]
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q_blk = q_ref[0, 0, pl.ds(i * block_q, block_q), :] * scale
+        do_blk = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
+        lse_blk = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        drow_blk = drow_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        b_blk = bias_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        s = (
+            jax.lax.dot_general(
+                q_blk, k_blk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + b_blk
+        )
+        p = jnp.exp(s - lse_blk)  # [bq, bk]
+        dv_acc = dv_acc + jax.lax.dot_general(
+            p, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do_blk, v_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - drow_blk)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((bk, D), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_q, body, (z, z))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)  # q already carried `scale`
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def _flash_diff(q, k, v, bias, block_q, block_k, interpret):
-    return _flash_impl(
+    out, _ = _flash_impl(
         q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret
     )
+    return out
 
 
 def _flash_fwd(q, k, v, bias, block_q, block_k, interpret):
-    out = _flash_impl(
+    out, lse = _flash_impl(
         q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret
     )
-    return out, (q, k, v, bias)
+    return out, (q, k, v, bias, out, lse)
 
 
 def _flash_bwd(block_q, block_k, interpret, res, g):
-    """Backward: recompute attention with the einsum reference and let XLA
-    differentiate it.  The forward stays memory-light (no [N, N] scores kept
-    in HBM); the backward materializes scores like standard attention —
-    correct adjoints at standard cost.  (A fused flash backward kernel is a
-    future optimization.)"""
-    q, k, v, bias = res
-    D = q.shape[-1]
+    """Fused flash backward: three Pallas passes (fwd-with-lse residuals,
+    dQ+dBias, dK+dV) — the [N, N] score matrix never touches HBM in the
+    backward either.  dBias sums dS over each bias group's batch members
+    inside the kernel via grid-revisit accumulation."""
+    q, k, v, bias, out, lse = res
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    B, H, N, D = q.shape
     scale = D**-0.5
-    bias_ndim = bias.ndim
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
 
-    def f(q, k, v, bias):
-        b = bias if bias.ndim == 4 else bias[None]
-        G = b.shape[0]
-        B = q.shape[0]
-        bb = jnp.tile(b, (B // G, 1, 1, 1))
-        s = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k) + bb
-        p = jax.nn.softmax(s, axis=-1)
-        return jnp.einsum("bhnm,bhmd->bhnd", p, v)
+    bias_was_3d = bias.ndim == 3
+    bias4 = bias[None] if bias_was_3d else bias
+    G = bias4.shape[0]
 
-    _, vjp = jax.vjp(f, q, k, v, bias)
-    return vjp(g)
+    do = g
+    drow = jnp.sum(
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )  # [B, H, N, 1]
+
+    # --- dQ + dBias ---------------------------------------------------
+    grid1 = (G, H, N // block_q, B // G)
+    k1 = functools.partial(
+        _bwd_dq_dbias_kernel, scale=scale, block_k=block_k,
+        n_kv=N // block_k, n_member=B // G,
+    )
+    b_idx = lambda gi, h, i, j: (gi + j * G, h, i, 0)
+    bn_idx = lambda gi, h, i, j: (gi + j * G, h, 0, 0)
+    dq, dbias = pl.pallas_call(
+        k1,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+            jax.ShapeDtypeStruct((G, H, N, N), jnp.float32),
+        ),
+        grid=grid1,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, D), b_idx),   # q
+            pl.BlockSpec((1, 1, N, D), bn_idx),        # k
+            pl.BlockSpec((1, 1, N, D), bn_idx),        # v
+            pl.BlockSpec((1, 1, block_q, N), lambda gi, h, i, j: (gi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, D), b_idx),   # dO
+            pl.BlockSpec((1, 1, block_q, 1), b_idx),   # lse
+            pl.BlockSpec((1, 1, block_q, 1), b_idx),   # drow
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_q, D), b_idx),
+            pl.BlockSpec((1, 1, block_q, N), lambda gi, h, i, j: (gi, h, i, 0)),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias4, do, lse, drow)
+
+    # --- dK + dV ------------------------------------------------------
+    grid2 = (B, H, N // block_k)
+    k2 = functools.partial(
+        _bwd_dkv_kernel, scale=scale, block_q=block_q, n_q=N // block_q
+    )
+    full = lambda b, h, i: (b, h, 0, 0)
+    blk = lambda b, h, i: (b, h, i, 0)
+    dk, dv = pl.pallas_call(
+        k2,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, N, D), k.dtype),
+            jax.ShapeDtypeStruct((B, H, N, D), v.dtype),
+        ),
+        grid=grid2,
+        in_specs=[
+            pl.BlockSpec((1, 1, N, D), full),          # q
+            pl.BlockSpec((1, 1, block_k, D), blk),     # k
+            pl.BlockSpec((1, 1, block_k, D), blk),     # v
+            pl.BlockSpec(
+                (1, 1, N, block_k), lambda b, h, i: (jax.lax.rem(b, G), h, 0, i)
+            ),
+            pl.BlockSpec((1, 1, N, D), full),          # dO
+            pl.BlockSpec((1, 1, N, 1), full),          # lse
+            pl.BlockSpec((1, 1, N, 1), full),          # drow
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, block_k, D), blk),
+            pl.BlockSpec((1, 1, block_k, D), blk),
+        ),
+        interpret=interpret,
+    )(q, k, v, bias4, do, lse, drow)
+
+    dbias = dbias.astype(bias.dtype)
+    if bias_was_3d:
+        dbias = dbias[0]
+    return dq, dk, dv, dbias
 
 
 _flash_diff.defvjp(_flash_fwd, _flash_bwd)
