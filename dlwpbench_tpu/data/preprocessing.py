@@ -102,6 +102,19 @@ class Preprocessor:
             data = data - self._clim[self._doy(times)]
         return data.astype(np.float32)
 
+    def fit_transform(self, data: np.ndarray, times) -> np.ndarray:
+        """Reference `Preprocessor.fit_transform` (`preprocessing.py:421`)."""
+        return self.fit(data, times).transform(data, times)
+
+    def get_trend_timeseries(self, n_steps: int) -> np.ndarray:
+        """The fitted trend evaluated over `n_steps` (reference
+        `get_trend_timeseries`, `preprocessing.py:435`)."""
+        if self._trend_coef is None:
+            raise RuntimeError("call fit() first")
+        tnum = np.arange(n_steps, dtype=np.float64)
+        shape = self._trend_coef.shape[1:]
+        return self._trend(tnum, shape).reshape(n_steps, *shape)
+
     def inverse_transform(self, data: np.ndarray, times) -> np.ndarray:
         data = np.asarray(data, np.float64)
         T = data.shape[0]
@@ -161,3 +174,86 @@ def coarsen_mean(data: np.ndarray, factor: int) -> np.ndarray:
     *lead, H, W = data.shape
     x = data.reshape(*lead, H // factor, factor, W // factor, factor)
     return x.mean(axis=(-3, -1))
+
+
+def resample_mean(data: np.ndarray, times, freq: str = "D"):
+    """Time-bin mean (xarray `.resample(time=...).mean()` equivalent).
+
+    freq: "D" (daily) or "W" (weekly).  Returns (binned_data, bin_times).
+    """
+    t = np.asarray(times, "datetime64[s]")
+    if freq == "D":
+        keys = t.astype("datetime64[D]")
+    elif freq == "W":
+        days = t.astype("datetime64[D]")
+        epoch = np.datetime64("1970-01-01")  # a Thursday; weeks since epoch
+        keys = epoch + ((days - epoch).astype(int) // 7) * np.timedelta64(7, "D")
+    else:
+        raise ValueError(f"unsupported freq {freq!r}")
+    uniq, inv = np.unique(keys, return_inverse=True)
+    out = np.zeros((len(uniq), *data.shape[1:]), np.float64)
+    np.add.at(out, inv, np.asarray(data, np.float64))
+    counts = np.bincount(inv, minlength=len(uniq)).reshape(
+        -1, *([1] * (data.ndim - 1))
+    )
+    return (out / counts).astype(np.float32), uniq
+
+
+def zonal_wave_analysis(
+    data: np.ndarray,
+    times,
+    lats: np.ndarray,
+    freq: str = "D",
+    winter_mask: bool = False,
+    lat_band: tuple[float, float] | None = (40.0, 50.0),
+    rolling_window_size: int = 10,
+):
+    """Stationary/transient zonal-wave diagnostic (reference
+    `daily_preprocessing`/`weekly_preprocessing`, `preprocessing.py:507-594`):
+    deseasonalize (linear detrend + day-of-year climatology), resample to
+    daily/weekly means, optionally keep only DJF, average the latitude band,
+    then FFT along longitude.
+
+    data: [T, H, W] single variable; returns a dict with the band series,
+    zonal amplitude spectrum [T', W], positive wavenumbers, temporal
+    frequencies [1/s], and the frequency x wavenumber phase-speed table.
+    """
+    pp = Preprocessor(rolling_window_size=rolling_window_size,
+                      detrend="linear", subtract_climatology=True)
+    anom = pp.fit_transform(np.asarray(data, np.float64), times)
+    binned, bin_times = resample_mean(anom, times, freq)
+
+    if winter_mask:
+        months = (bin_times.astype("datetime64[M]").astype(int) % 12) + 1
+        keep = np.isin(months, (12, 1, 2))
+        binned, bin_times = binned[keep], bin_times[keep]
+
+    lats = np.asarray(lats)
+    if lat_band is not None:
+        sel = (lats >= min(lat_band)) & (lats <= max(lat_band))
+        if not sel.any():
+            raise ValueError(f"no latitudes inside {lat_band}")
+        band = binned[:, sel].mean(axis=1)  # [T', W]
+    else:
+        band = binned.mean(axis=1)
+
+    fft = np.fft.fft(band, axis=-1)
+    amplitude = np.abs(fft)
+    n_lon = band.shape[-1]
+    wavenumbers = np.fft.fftfreq(n_lon, d=1.0)[: n_lon // 2]
+    if len(bin_times) > 1:
+        dt_s = float(np.diff(bin_times.astype("datetime64[s]")).mean()
+                     / np.timedelta64(1, "s"))
+    else:
+        dt_s = 86400.0
+    frequencies = np.fft.fftfreq(len(bin_times), d=dt_s)
+    with np.errstate(divide="ignore"):
+        phase_speed = np.outer(frequencies, 1.0 / wavenumbers)
+    return {
+        "series": band,
+        "times": bin_times,
+        "amplitude_spectrum": amplitude,
+        "wavenumbers": wavenumbers,
+        "frequencies": frequencies,
+        "phase_speed": phase_speed,
+    }

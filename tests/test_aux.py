@@ -139,3 +139,69 @@ class TestLoggerAndProfiling:
                 pass
         s = t.summary()
         assert s["steps"] == 3 and s["mean_s"] >= 0
+
+
+class TestZonalWaveAnalysis:
+    """Reference daily/weekly_preprocessing equivalents
+    (`preprocessing.py:507-594`): deseasonalize -> resample -> band mean ->
+    zonal FFT amplitude + phase-speed table."""
+
+    def _data(self, days=120, H=8, W=16):
+        times = (np.datetime64("2015-01-01T00") +
+                 np.arange(days * 4) * np.timedelta64(6, "h"))
+        lats = np.linspace(-70, 70, H)
+        lons = np.arange(W) * (360.0 / W)
+        # wavenumber-3 wave in the 40-50N band whose amplitude varies
+        # stochastically in time (a constant wave would be absorbed into
+        # the day-of-year climatology, correctly), plus a linear trend
+        t = np.arange(len(times), dtype=float)
+        amp = 5.0 * (1 + np.random.default_rng(0).standard_normal(len(times)))
+        field = (
+            amp[:, None, None]
+            * np.sin(3 * np.deg2rad(lons))[None, None, :]
+            * np.exp(-((lats[:, None] - 45.0) / 8.0) ** 2)[None]
+            + 0.01 * t[:, None, None]
+        )
+        return field.astype(np.float32), times, lats
+
+    def test_daily_amplitude_peak_at_wavenumber_3(self):
+        from dlwpbench_tpu.data.preprocessing import zonal_wave_analysis
+
+        data, times, lats = self._data()
+        res = zonal_wave_analysis(data, times, lats, freq="D",
+                                  lat_band=(40, 50))
+        assert res["series"].shape == (120, 16)
+        amp = res["amplitude_spectrum"].mean(axis=0)
+        assert np.argmax(amp[1:8]) + 1 == 3  # peak at zonal wavenumber 3
+        assert res["phase_speed"].shape == (
+            len(res["frequencies"]), len(res["wavenumbers"]))
+
+    def test_weekly_resample_and_winter_mask(self):
+        from dlwpbench_tpu.data.preprocessing import (
+            resample_mean,
+            zonal_wave_analysis,
+        )
+
+        data, times, lats = self._data(days=400)
+        binned, bt = resample_mean(data, times, freq="W")
+        assert 56 <= len(bt) <= 59  # ~400/7 weeks
+        res = zonal_wave_analysis(data, times, lats, freq="D",
+                                  winter_mask=True, lat_band=(40, 50))
+        months = (res["times"].astype("datetime64[M]").astype(int) % 12) + 1
+        assert set(months.tolist()) <= {12, 1, 2}
+
+    def test_fit_transform_and_trend_series(self):
+        from dlwpbench_tpu.data.preprocessing import Preprocessor
+
+        times = (np.datetime64("2015-01-01") +
+                 np.arange(200) * np.timedelta64(1, "D"))
+        rng = np.random.default_rng(0)
+        data = 0.05 * np.arange(200)[:, None] + rng.standard_normal((200, 4))
+        pp = Preprocessor(rolling_window_size=None, detrend="linear",
+                          subtract_climatology=False)
+        anom = pp.fit_transform(data, times)
+        # detrended series has no linear component left
+        slope = np.polyfit(np.arange(200), anom.mean(axis=1), 1)[0]
+        assert abs(slope) < 1e-6
+        trend = pp.get_trend_timeseries(200)
+        np.testing.assert_allclose(trend + anom, data, atol=1e-4)
