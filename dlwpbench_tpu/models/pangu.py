@@ -161,7 +161,7 @@ class EarthAttention3D(nn.Module):
         qkv = qkv.reshape(B_, nW, N, 3, nh, hd).transpose(3, 0, 4, 1, 2, 5)
 
         blk = _flash_block_pangu(N)
-        flash = self.use_flash if self.use_flash is not None else N >= 4096
+        flash = self.use_flash if self.use_flash is not None else N >= 1024
         if flash and blk and hd % 8 == 0:
             # Pallas fused path. Batch layout b = ((sample*nLon)+lon)*nW + w,
             # so a grouped bias [G, nh, N, N] with G = (nLon if masked else 1)

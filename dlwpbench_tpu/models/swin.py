@@ -123,7 +123,7 @@ class WindowAttention(nn.Module):
 
         blk = _flash_block(N)
         flash = (
-            self.use_flash if self.use_flash is not None else N >= 4096
+            self.use_flash if self.use_flash is not None else N >= 1024
         )
         if flash and blk and hd % 8 == 0:
             from dlwpbench_tpu.ops.pallas_attention import flash_window_attention
