@@ -6,6 +6,7 @@ Registered `type` strings match the reference's config `model/*.yaml` values
 
 from dlwpbench_tpu.models import registry
 from dlwpbench_tpu.models.registry import build_model, get_model_class, register
+from dlwpbench_tpu.models.distana import DISTANA, DISTANAHPX
 from dlwpbench_tpu.models.unet import UNet, UNetHPX
 from dlwpbench_tpu.models.convlstm import ConvLSTM, ConvLSTMHPX
 from dlwpbench_tpu.models.fno import FNO2DModule, TFNO2DModule
@@ -25,6 +26,8 @@ from dlwpbench_tpu.models.modern_unet import (
 for _name, _cls in {
     "UNet": UNet,
     "UNetHPX": UNetHPX,
+    "DISTANA": DISTANA,
+    "DISTANAHPX": DISTANAHPX,
     "ConvLSTM": ConvLSTM,
     "ConvLSTMHPX": ConvLSTMHPX,
     "FNO2DModule": FNO2DModule,

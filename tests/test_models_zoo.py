@@ -506,3 +506,53 @@ class TestOddGrids:
         out = core.apply(p, x)
         assert out.shape == (1, 45, 90, 2)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestDISTANA:
+    """DISTANA (config-only in the reference) — implemented from the paper:
+    prediction-kernel lattice + 8-neighbor lateral exchange."""
+
+    def test_distana_shapes_and_rollout(self):
+        from dlwpbench_tpu.models.distana import DISTANA
+
+        _run(DISTANA(constant_channels=2, prescribed_channels=1,
+                     prognostic_channels=2, hidden_size=8, layers=2,
+                     context_size=1))
+
+    def test_distana_hpx(self):
+        from dlwpbench_tpu.models.distana import DISTANAHPX
+
+        _run(DISTANAHPX(constant_channels=2, prescribed_channels=1,
+                        prognostic_channels=2, hidden_size=8, layers=2,
+                        context_size=1), spatial=(12, 8, 8))
+
+    def test_lateral_information_propagates(self):
+        """A point perturbation must reach (only) its 8-neighborhood after
+        one extra rollout step via the lateral channel."""
+        import jax
+
+        from dlwpbench_tpu.models.distana import DISTANA
+
+        m = DISTANA(constant_channels=0, prescribed_channels=0,
+                    prognostic_channels=1, hidden_size=4, layers=1,
+                    context_size=1)
+        rng = np.random.default_rng(0)
+        prog = jnp.asarray(rng.standard_normal((1, 4, 1, 8, 16)), jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), None, None, prog)
+        base = np.asarray(m.apply(params, None, None, prog))
+        pert = prog.at[0, 0, 0, 4, 8].add(1.0)
+        diff = np.abs(np.asarray(m.apply(params, None, None, pert)) - base)
+        # step 1 (first output): perturbation affects the cell itself
+        assert diff[0, 0, 0, 4, 8] > 0
+        # by the second predicted step it has reached a neighbor laterally
+        assert diff[0, 1, 0, 4, 9] > 0 or diff[0, 1, 0, 3, 8] > 0
+
+    def test_registry_has_distana(self):
+        from dlwpbench_tpu.models import build_model
+        from dlwpbench_tpu.models.registry import registered_models
+
+        assert "DISTANA" in registered_models()
+        m = build_model({"type": "DISTANA", "prognostic_channels": 2,
+                         "constant_channels": 0, "prescribed_channels": 0,
+                         "hidden_size": 8, "layers": 2})
+        assert m.hidden_size == 8
