@@ -301,5 +301,20 @@ def _weatherbench_zarr(d, tr, va, te, ctx):
     te_split = to_arrays(d["test_start_date"], d["test_stop_date"])
     train = _mk(tr_split, int(tr["sequence_length"]), ctx, float(tr.get("noise", 0)), 1)
     val = _mk(va_split, int(va["sequence_length"]), ctx, 0.0, 2)
-    test = _mk(te_split, int((te or va)["sequence_length"]), ctx, 0.0, 3)
+    test_seq = int((te or va)["sequence_length"])
+    test = _mk(te_split, test_seq, ctx, 0.0, 3)
+
+    # Forecast protocol on the test split: biweekly Monday/Thursday 11:00
+    # UTC init dates (reference `evaluate.py:56-77` builds these itself for
+    # evaluation regardless of the train config's init_dates; the synthetic
+    # source applies the same rule).
+    t_all = series[next(iter(prog_spec))][0]
+    t0 = np.datetime64(str(d["test_start_date"]))
+    t1 = np.datetime64(str(d["test_stop_date"])) + np.timedelta64(1, "D")
+    test_times = t_all[(t_all >= t0) & (t_all < t1)][::td]
+    if len(test_times):
+        idx = biweekly_init_indices(test_times, test_times[0], test_times[-1])
+        idx = idx[idx + test_seq + 1 <= len(test_times)]
+        if len(idx):
+            test.init_indices = idx.tolist()
     return train, val, test, raw_stats
