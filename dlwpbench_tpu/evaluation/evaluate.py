@@ -89,8 +89,12 @@ def compute_metrics(
         rmses[name] = np.asarray(M.weighted_rmse(o, t, lats_deg)).tolist()
         fro[name] = np.asarray(M.frobenius_norm(o, t)).tolist()
         if climatology is not None:
-            accs[name] = np.asarray(
-                M.acc(o, t, jnp.asarray(climatology[:, :, i]), lats_deg)
+            clim_i = jnp.asarray(climatology[:, :, i])
+            accs[name] = np.asarray(M.acc(o, t, clim_i, lats_deg)).tolist()
+            # climatology-forecast skill (reference `evaluate.py:823-827`
+            # writes rmses_climatology.nc alongside the ACC)
+            results.setdefault("rmse_climatology", {})[name] = np.asarray(
+                M.weighted_rmse(jnp.broadcast_to(clim_i, t.shape), t, lats_deg)
             ).tolist()
         # physical soundness: zonal-mean RMSEs (global / trade winds / SW)
         results.setdefault("zonal_rmse_global", {})[name] = float(
@@ -115,6 +119,8 @@ def compute_metrics(
     _write_netcdf_or_npz(out_dir, "rmses", rmses, var_names)
     if accs:
         _write_netcdf_or_npz(out_dir, "accs", accs, var_names)
+        _write_netcdf_or_npz(out_dir, "rmses_climatology",
+                             results["rmse_climatology"], var_names)
     return results
 
 

@@ -318,3 +318,28 @@ class TestForecastVideo:
             assert ok is False and not (tmp_path / "v.mp4").exists()
         else:
             assert ok is True and (tmp_path / "v.mp4").exists()
+
+
+class TestClimatologyRMSE:
+    def test_compute_metrics_writes_climatology_rmse(self, tmp_path):
+        """With a climatology forecast present, compute_metrics reports the
+        climatology's own lat-weighted RMSE (reference rmses_climatology.nc,
+        evaluate.py:823-827)."""
+        import json
+
+        from dlwpbench_tpu.evaluation.evaluate import compute_metrics
+
+        rng = np.random.default_rng(0)
+        out = rng.standard_normal((2, 3, 1, 8, 16)).astype(np.float32)
+        tar = rng.standard_normal((2, 3, 1, 8, 16)).astype(np.float32)
+        clim = np.zeros_like(tar)
+        lats = np.linspace(-80, 80, 8)
+        res = compute_metrics(out, tar, lats, ["z500"], str(tmp_path),
+                              climatology=clim)
+        assert "rmse_climatology" in res
+        assert len(res["rmse_climatology"]["z500"]) == 3
+        import os
+
+        assert any("rmses_climatology" in f for f in os.listdir(tmp_path))
+        saved = json.load(open(tmp_path / "metrics.json"))
+        assert "acc" in saved and "rmse_climatology" in saved
