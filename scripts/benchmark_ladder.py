@@ -164,14 +164,19 @@ def solve_width(family, target, shapes, H, W, Cc, Cp, Cq, nside, tol=0.10):
     return w, n
 
 
-def measure(model, shapes_np, dev, cpu, repeats=4, iters=3):
-    """Compile + time the remat train step; return timings and memory."""
+def measure(model, shapes_np, dev, cpu, repeats=4, iters=3,
+            compute_dtype=None):
+    """Compile + time the remat train step; return timings and memory.
+
+    compute_dtype="bfloat16" measures the mixed-precision step (bf16
+    compute, fp32 master params — the Trainer's recipe)."""
     import jax
     import jax.numpy as jnp
     import optax
 
     from dlwpbench_tpu.training.losses import mse_loss
 
+    cdt = jnp.dtype(compute_dtype) if compute_dtype else None
     const, pres, prog, target = (jnp.asarray(a) for a in shapes_np)
     if hasattr(model, "remat"):
         model = model.clone(remat=True)
@@ -189,6 +194,11 @@ def measure(model, shapes_np, dev, cpu, repeats=4, iters=3):
             p, o = carry
 
             def loss_fn(pp):
+                if cdt is not None:
+                    pp = jax.tree.map(lambda x: x.astype(cdt), pp)
+                    out = model.apply(pp, c.astype(cdt), pr.astype(cdt),
+                                      pg.astype(cdt))
+                    return mse_loss(out.astype(jnp.float32), t)
                 return mse_loss(model.apply(pp, c, pr, pg), t)
 
             loss, grads = jax.value_and_grad(loss_fn)(p)
@@ -239,6 +249,8 @@ def main(argv=None):
     ap.add_argument("--nside", type=int, default=None, help="HEALPix nside (hpx families)")
     ap.add_argument("--seq", type=int, default=15)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--compute-dtype", default=None,
+                    help="bfloat16 = mixed-precision step (keys get @bf16)")
     ap.add_argument("--out", default="results/ladder.json")
     args = ap.parse_args(argv)
 
@@ -284,7 +296,9 @@ def main(argv=None):
     for family in args.families.split(","):
         rungs = args.rungs.split(",") if args.rungs else FAMILY_RUNGS[family]
         for rung in rungs:
-            key = f"{family}@{rung}@{grid_key}"
+            key = f"{family}@{rung}@{grid_key}" + (
+                "@bf16" if args.compute_dtype else ""
+            )
             if results.get(key, {}).get("step_s"):
                 print(f"{key}: cached, skipping", flush=True)
                 continue
@@ -295,7 +309,8 @@ def main(argv=None):
                                        args.nside)
                     model = build(family, w, H, W, Cc, Cp, Cq, args.nside)
                 step_s, compile_s, mem = measure(
-                    model, (const_np, pres_np, prog_np, tgt_np), dev, cpu)
+                    model, (const_np, pres_np, prog_np, tgt_np), dev, cpu,
+                    compute_dtype=args.compute_dtype)
                 epoch_s = step_s * WINDOWS_PER_EPOCH_2014 / B
                 results[key] = {
                     "family": family, "rung": rung, "grid": grid_key,
