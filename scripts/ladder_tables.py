@@ -69,13 +69,17 @@ def main(argv=None):
     with open(args.ladder) as f:
         ladder = json.load(f)
 
-    # organize measured rows: family -> rung -> entry (main-grid only)
+    # organize measured rows: family -> rung -> entry (main-grid only);
+    # "@bf16"-suffixed keys are mixed-precision runs, kept separate
     fam_rows = {}
     extra_grids = {}
+    bf16_rows = {}
     for key, e in ladder.items():
         if "error" in e:
             continue
-        if e["grid"] == args.grid:
+        if key.endswith("@bf16"):
+            bf16_rows.setdefault(e["family"], {})[e["rung"]] = e
+        elif e["grid"] == args.grid:
             fam_rows.setdefault(e["family"], {})[e["rung"]] = e
         else:
             extra_grids.setdefault(e["grid"], {}).setdefault(
@@ -117,6 +121,24 @@ def main(argv=None):
                 f"| {'' if mem is None else f'{mem:.0f}'} "
                 f"| {'' if ref_mb != ref_mb else f'{ref_mb:.0f}'} |"
             )
+        lines.append("")
+
+    if bf16_rows:
+        lines += ["## Mixed precision (bf16 compute, fp32 master params)", "",
+                  "| family | rung | params | step ms | fp32 step ms | gain |",
+                  "|---|---|---|---|---|---|"]
+        for fam, rows in sorted(bf16_rows.items()):
+            for rung in RUNG_ORDER:
+                e = rows.get(rung)
+                if e is None:
+                    continue
+                f32 = fam_rows.get(fam, {}).get(rung, {}).get("step_s")
+                gain = f"{f32 / e['step_s']:.2f}x" if f32 else ""
+                lines.append(
+                    f"| {fam} | {rung} | {e['params']/1e6:.2f}M "
+                    f"| {e['step_s']*1e3:.1f} "
+                    f"| {'' if not f32 else f'{f32*1e3:.1f}'} | {gain} |"
+                )
         lines.append("")
 
     for grid, fams in sorted(extra_grids.items()):
