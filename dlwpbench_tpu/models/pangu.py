@@ -143,7 +143,10 @@ class EarthAttention3D(nn.Module):
     window_size: tuple[int, int, int]
     num_heads: int
     qkv_bias: bool = True
-    use_flash: Optional[bool] = None
+    # None = auto: packed kernel for small windows on TPU, flash for huge
+    # windows, einsum otherwise.  True/False force flash/einsum; "packed"
+    # forces the packed small-window kernel.
+    use_flash: Optional[Any] = None
 
     @nn.compact
     def __call__(
@@ -158,10 +161,36 @@ class EarthAttention3D(nn.Module):
         scale = hd**-0.5
 
         qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=trunc_normal_init())(x)
+
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        # Auto rule: the packed kernel wins once there are enough windows to
+        # amortize its per-program overhead (measured: 1.4-1.7x faster
+        # training at batch >= 8, but ~1.3x slower batch-1 inference than
+        # the einsum path, results/attention_training_notes.md).
+        packed = self.use_flash == "packed" or (
+            self.use_flash is None and on_tpu and N < 1024 and hd % 8 == 0
+            and B_ * nW >= 64
+        )
+        if packed:
+            # Pallas packed small-window path: one program per
+            # (sample, lon, window) triple covering all heads
+            # (ops/pallas_attention.py::packed_window_attention).
+            from dlwpbench_tpu.ops.pallas_attention import packed_window_attention
+
+            pq = qkv.reshape(B_, nW, N, 3, nh, hd).transpose(3, 0, 1, 4, 2, 5)
+            pq = pq.reshape(3, B_ * nW, nh, N, hd)
+            gb = bias.transpose(1, 0, 2, 3)  # [nW, nh, N, N]
+            out = packed_window_attention(pq[0], pq[1], pq[2], gb, mask)
+            out = out.reshape(B_, nW, nh, N, hd).transpose(0, 1, 3, 2, 4)
+            out = out.reshape(B_, nW, N, C)
+            return nn.Dense(C, kernel_init=trunc_normal_init())(out)
+
         qkv = qkv.reshape(B_, nW, N, 3, nh, hd).transpose(3, 0, 4, 1, 2, 5)
 
         blk = _flash_block_pangu(N)
-        flash = self.use_flash if self.use_flash is not None else N >= 1024
+        flash = self.use_flash is True or (
+            self.use_flash is None and N >= 1024
+        )
         if flash and blk and hd % 8 == 0:
             # Pallas fused path. Batch layout b = ((sample*nLon)+lon)*nW + w,
             # so a grouped bias [G, nh, N, N] with G = (nLon if masked else 1)
@@ -216,7 +245,7 @@ class EarthSpecificBlock(nn.Module):
     # shift_lat instead of shift_lon, `panguweather.py:292`) for parity
     # testing; default False = self-consistent shifts.
     reference_roll_quirk: bool = False
-    use_flash: Optional[bool] = None
+    use_flash: Optional[Any] = None
     exact_gelu: bool = False
 
     @nn.compact
@@ -240,7 +269,11 @@ class EarthSpecificBlock(nn.Module):
             spl, slat, slon = shift_size
             fwd_lon = slat if self.reference_roll_quirk else slon
             x = jnp.roll(x, (-spl, -slat, -fwd_lon), axis=(1, 2, 3))
-            mask = jnp.asarray(shift_window_mask(pad_res, win, shift_size))
+            # cast to the compute dtype: a f32 mask would silently promote
+            # the whole attention (and the scan carry) to f32 under bf16
+            mask = jnp.asarray(
+                shift_window_mask(pad_res, win, shift_size), dtype=x.dtype
+            )
         else:
             mask = None
 
@@ -345,8 +378,9 @@ class PanguWeather(RolloutModel):
     context_size: int = 1
     mesh: str = "equirectangular"
     reference_roll_quirk: bool = False
-    # None = auto (einsum at the small window size); True/False forces.
-    use_flash_attention: Optional[bool] = None
+    # None = auto (packed kernel on TPU at small windows); True/False
+    # force flash/einsum; "packed" forces the packed kernel.
+    use_flash_attention: Optional[Any] = None
     # False = fast tanh-approx GELU; True = torch-exact erf GELU (parity)
     exact_gelu: bool = False
 

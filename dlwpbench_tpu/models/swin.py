@@ -107,7 +107,10 @@ class WindowAttention(nn.Module):
     num_heads: int
     qkv_bias: bool = True
     qk_scale: Optional[float] = None
-    use_flash: Optional[bool] = None  # None = auto (flash for large N)
+    # None = auto: flash for global-size windows, packed kernel for many
+    # small windows on TPU, einsum otherwise; True/False force flash/einsum;
+    # "packed" forces the packed small-window kernel.
+    use_flash: Optional[Any] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: jax.Array):
@@ -121,9 +124,25 @@ class WindowAttention(nn.Module):
         qkv = qkv.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
         q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, nh, N, hd]
 
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        packed = self.use_flash == "packed" or (
+            self.use_flash is None and on_tpu and N < 1024 and hd % 8 == 0
+            and B_ >= 64
+        )
+        if packed:
+            # Pallas packed small-window path (Swin HPX / shifted nW > 1
+            # small windows): batch layout b = sample*nW + window matches
+            # the kernel's w = p % nW bias selection.
+            from dlwpbench_tpu.ops.pallas_attention import packed_window_attention
+
+            gb = bias if bias.ndim == 4 else bias[None]
+            out = packed_window_attention(q, k, v, gb, None)
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+            return nn.Dense(C, kernel_init=trunc_normal_init())(out)
+
         blk = _flash_block(N)
-        flash = (
-            self.use_flash if self.use_flash is not None else N >= 1024
+        flash = self.use_flash is True or (
+            self.use_flash is None and N >= 1024
         )
         if flash and blk and hd % 8 == 0:
             from dlwpbench_tpu.ops.pallas_attention import flash_window_attention
@@ -165,7 +184,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     qkv_bias: bool = True
     mesh: str = "equirectangular"
-    use_flash: Optional[bool] = None
+    use_flash: Optional[Any] = None
     exact_gelu: bool = False
 
     @nn.compact
@@ -254,7 +273,7 @@ class SwinTransformer(RolloutModel):
     mesh: str = "equirectangular"
     # None = auto (Pallas flash kernel only where it wins: large windows);
     # True/False forces the path.
-    use_flash_attention: Optional[bool] = None
+    use_flash_attention: Optional[Any] = None
     # False = fast tanh-approx GELU; True = torch-exact erf GELU (parity)
     exact_gelu: bool = False
 
@@ -307,8 +326,11 @@ class SwinTransformer(RolloutModel):
                 )
                 sh, sw = (0, 0) if d % 2 == 0 else st["shift"]
                 if sh or sw:
+                    # cast to the bias dtype so a f32 mask can't promote the
+                    # attention (and the scan carry) to f32 under bf16
                     mask = jnp.asarray(
-                        shift_attn_mask(st["Hp"], st["Wp"], wh, ww, sh, sw)
+                        shift_attn_mask(st["Hp"], st["Wp"], wh, ww, sh, sw),
+                        dtype=rel.dtype,
                     )
                     aux[f"{i}_{d}"] = rel[None] + mask[:, None]  # [nW,nh,N,N]
                 else:

@@ -338,6 +338,259 @@ def _flash_bwd(block_q, block_k, interpret, res, g):
 _flash_diff.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Packed small-window attention (Pangu-style tiny windows)
+# ---------------------------------------------------------------------------
+#
+# Pangu's EarthAttention3D at 5.625 deg has windows of N = 144 tokens and
+# thousands of independent (batch, lon-group, window, head) problems per
+# layer (`models/pangu.py`; reference `panguweather.py:133-211`).  The flash
+# kernel above is built for LARGE N (streamed K/V); at N = 144 its grid
+# degenerates into thousands of near-empty programs, while the einsum path
+# materializes [B*nLon, nh, nW, N, N] score tensors (~0.5 GB/layer at batch
+# 32) through HBM.
+#
+# This kernel packs ALL heads of one (batch, lon, window) triple into one
+# program: q/k/v/bias/scores stay resident in VMEM (N*N fits easily), the
+# softmax is a plain two-pass over a resident [N, N] tile, and the backward
+# is a SINGLE fused kernel producing dQ, dK, dV and the accumulated dBias —
+# no [N, N] tensor ever touches HBM in either direction.
+
+
+def _packed_attn_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref,
+                        o_ref, lse_ref, *, scale, nh):
+    """All tensors live in the TRANSPOSED layout: q/k/v/o [1, nh, D, N],
+    bias/mask [.., Nkey, Nquery], lse [1, nh, 1, N].  The head dim D (16/32)
+    would pad 8x to the 128-lane tile as a minor dim; with N minor the
+    padding is 144->256 and the per-row softmax stats are lane vectors."""
+    m = mask_ref[0, 0]  # [Nk, Nq], zeros when unmasked
+    for h in range(nh):
+        q = q_ref[0, h] * scale  # [D, Nq]
+        k = k_ref[0, h]          # [D, Nk]
+        s = (
+            jax.lax.dot_general(   # [Nk, Nq]
+                k, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias_ref[0, h]
+            + m
+        )
+        mx = jnp.max(s, axis=0, keepdims=True)   # [1, Nq]
+        p = jnp.exp(s - mx)
+        l = jnp.sum(p, axis=0, keepdims=True)
+        o = jax.lax.dot_general(   # [D, Nq]
+            v_ref[0, h], p, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = (o / l).astype(o_ref.dtype)
+        lse_ref[0, h] = mx + jnp.log(l)
+
+
+def _packed_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, mask_ref, do_ref,
+                       lse_ref, drow_ref, dq_ref, dk_ref, dv_ref, dbias_ref,
+                       *, scale):
+    """Grid (nW, nh, B_) with the batch member j innermost: the dbias block
+    (indexed by (w, h) only) is revisited on consecutive steps and
+    accumulates the window's dS sum over all batch members (same
+    grid-revisit pattern as `_bwd_dq_dbias_kernel`).  One head per program
+    keeps the VMEM footprint small (a fused-heads variant at nh=12,
+    N=144 exceeds the 16 MB scoped-VMEM limit once blocks are
+    double-buffered)."""
+    j = pl.program_id(2)
+    m = mask_ref[0, 0]
+
+    @pl.when(j == 0)
+    def _init():
+        dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+
+    q = q_ref[0, 0]   # [D, Nq]
+    k = k_ref[0, 0]   # [D, Nk]
+    v = v_ref[0, 0]   # [D, Nk]
+    do = do_ref[0, 0].astype(jnp.float32)  # [D, Nq]
+    s = (
+        jax.lax.dot_general(   # [Nk, Nq]
+            k, q * scale, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias_ref[0, 0]
+        + m
+    )
+    p = jnp.exp(s - lse_ref[0, 0])  # normalized probs [Nk, Nq]
+    dp = jax.lax.dot_general(       # [Nk, Nq]
+        v, do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - drow_ref[0, 0])  # [Nk, Nq]
+    dbias_ref[0, 0] = dbias_ref[0, 0] + ds
+    dq_ref[0, 0] = (
+        scale
+        * jax.lax.dot_general(      # [D, Nq]
+            k, ds, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(dq_ref.dtype)
+    dk_ref[0, 0] = (
+        scale
+        * jax.lax.dot_general(      # [D, Nk]
+            q, ds, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    ).astype(dk_ref.dtype)
+    dv_ref[0, 0] = jax.lax.dot_general(  # [D, Nk]
+        do, p, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _packed_impl(qt, kt, vt, bias_t, mask_t, interpret=False):
+    """Transposed layouts throughout: qt/kt/vt [BW, nh, D, N],
+    bias_t [nW, nh, Nk, Nq], mask_t [nLon, nW, Nk, Nq].
+    Returns (out_t [BW, nh, D, N], lse [BW, nh, 1, N])."""
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    BW, nh, D, N = qt.shape
+    nW = bias_t.shape[0]
+    nLon = mask_t.shape[0]
+    scale = D**-0.5
+    kernel = functools.partial(_packed_attn_kernel, scale=scale, nh=nh)
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((BW, nh, D, N), qt.dtype),
+            jax.ShapeDtypeStruct((BW, nh, 1, N), jnp.float32),
+        ),
+        grid=(BW,),
+        in_specs=[
+            pl.BlockSpec((1, nh, D, N), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nh, D, N), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nh, D, N), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, nh, N, N), lambda i: (jax.lax.rem(i, nW), 0, 0, 0)
+            ),
+            pl.BlockSpec(
+                (1, 1, N, N),
+                lambda i: (
+                    jax.lax.rem(jax.lax.div(i, nW), nLon),
+                    jax.lax.rem(i, nW), 0, 0,
+                ),
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, nh, D, N), lambda i: (i, 0, 0, 0)),
+            pl.BlockSpec((1, nh, 1, N), lambda i: (i, 0, 0, 0)),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt, bias_t, mask_t)
+    return out, lse
+
+
+def _t(x):
+    """Swap the two trailing axes."""
+    return jnp.swapaxes(x, -1, -2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _packed_diff(q, k, v, bias, mask, interpret):
+    out_t, _ = _packed_impl(
+        _t(q), _t(k), _t(v), _t(bias), _t(mask), interpret=interpret
+    )
+    return _t(out_t)
+
+
+def _packed_fwd(q, k, v, bias, mask, interpret):
+    qt, kt, vt, bias_t, mask_t = _t(q), _t(k), _t(v), _t(bias), _t(mask)
+    out_t, lse = _packed_impl(qt, kt, vt, bias_t, mask_t, interpret=interpret)
+    return _t(out_t), (qt, kt, vt, bias_t, mask_t, out_t, lse)
+
+
+def _packed_bwd(interpret, res, g):
+    qt, kt, vt, bias_t, mask_t, out_t, lse = res
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    BW, nh, D, N = qt.shape
+    nW = bias_t.shape[0]
+    nLon = mask_t.shape[0]
+    B_ = BW // nW
+    scale = D**-0.5
+    do = _t(g)  # [BW, nh, D, N]
+    drow = jnp.sum(
+        do.astype(jnp.float32) * out_t.astype(jnp.float32), axis=-2,
+        keepdims=True,
+    )  # [BW, nh, 1, N]
+
+    kernel = functools.partial(_packed_bwd_kernel, scale=scale)
+    blk = lambda w, h, j: (j * nW + w, h, 0, 0)
+    wh = lambda w, h, j: (w, h, 0, 0)
+    dq, dk, dv, dbias = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((BW, nh, D, N), qt.dtype),
+            jax.ShapeDtypeStruct((BW, nh, D, N), kt.dtype),
+            jax.ShapeDtypeStruct((BW, nh, D, N), vt.dtype),
+            jax.ShapeDtypeStruct((nW, nh, N, N), jnp.float32),
+        ),
+        grid=(nW, nh, B_),  # j innermost -> sequential dbias revisit
+        in_specs=[
+            pl.BlockSpec((1, 1, D, N), blk),      # q
+            pl.BlockSpec((1, 1, D, N), blk),      # k
+            pl.BlockSpec((1, 1, D, N), blk),      # v
+            pl.BlockSpec((1, 1, N, N), wh),       # bias (transposed)
+            pl.BlockSpec(
+                (1, 1, N, N),
+                lambda w, h, j: (jax.lax.rem(j, nLon), w, 0, 0),
+            ),
+            pl.BlockSpec((1, 1, D, N), blk),      # dO
+            pl.BlockSpec((1, 1, 1, N), blk),      # lse
+            pl.BlockSpec((1, 1, 1, N), blk),      # drow
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, D, N), blk),
+            pl.BlockSpec((1, 1, D, N), blk),
+            pl.BlockSpec((1, 1, D, N), blk),
+            pl.BlockSpec((1, 1, N, N), wh),
+        ),
+        interpret=interpret,
+    )(qt, kt, vt, bias_t, mask_t, do, lse, drow)
+    return (
+        _t(dq), _t(dk), _t(dv),
+        _t(dbias).astype(bias_t.dtype),
+        jnp.zeros(
+            (nLon, nW) + mask_t.shape[2:][::-1], dtype=mask_t.dtype
+        ),
+    )
+
+
+_packed_diff.defvjp(_packed_fwd, _packed_bwd)
+
+
+def packed_window_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    mask: jax.Array | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused attention for MANY SMALL windows (Pangu earth attention).
+
+    q, k, v: [B_*nW, nh, N, D] laid out so that problem p = b_*nW + w with
+    b_ = sample*nLon + lon (the `window_partition_3d` batch layout).
+    bias:    [nW, nh, N, N] per-window-type earth-position bias (selected as
+             w = p % nW inside the kernel).
+    mask:    [nLon, nW, N, N] additive shift mask or None (selected as
+             lon = (p // nW) % nLon).
+
+    Returns [B_*nW, nh, N, D].  Differentiable (fused backward incl. the
+    bias cotangent, summed over batch members in-kernel); the mask is
+    treated as a constant (zero cotangent).
+    """
+    if mask is None:
+        N = q.shape[-2]
+        mask = jnp.zeros((1, 1, N, N), q.dtype)
+    return _packed_diff(q, k, v, bias, mask, interpret)
+
+
 def flash_window_attention(
     q: jax.Array,
     k: jax.Array,

@@ -55,6 +55,8 @@ FAMILY_RUNGS = {
     "modernunet": tuple(RUNGS),
     "unet_hpx": ("500k", "2m", "8m", "32m"),
     "convlstm_hpx": ("500k", "2m", "8m"),
+    "modernunet_hpx": ("500k", "2m", "8m", "32m"),
+    "swin_hpx": ("500k", "2m", "8m"),
 }
 
 WINDOWS_PER_EPOCH_2014 = 96  # (1460 - 15) // 15: one year, 6-hourly, seq 15
@@ -76,6 +78,22 @@ def build(family, width, H, W, Cc, Cp, Cq, nside=None):
     if family == "unet_hpx":
         from dlwpbench_tpu.models.unet import UNetHPX
         return UNetHPX(hidden_channels=(width, 2 * width, 4 * width), **kw)
+    if family == "modernunet_hpx":
+        from dlwpbench_tpu.models.modern_unet import MUNetHPX
+        return MUNetHPX(hidden_channels=(width, 2 * width, 4 * width),
+                        norm=True, **kw)
+    if family == "swin_hpx":
+        from dlwpbench_tpu.models.swin import SwinTransformerHPX
+        if width < 48:
+            d = 8 * max(1, round(width / 8))
+            heads = (1, 2)
+        else:
+            d = 24 * max(1, round(width / 24))
+            heads = (3, 6)
+        return SwinTransformerHPX(img_height=nside, img_width=nside,
+                                  embed_dim=d, depths=(4, 4),
+                                  num_heads=heads,
+                                  use_flash_attention=True, **kw)
     if family == "modernunet":
         from dlwpbench_tpu.models.modern_unet import ModernUNet
         return ModernUNet(hidden_channels=(width, 2 * width, 4 * width),

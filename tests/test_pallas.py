@@ -176,3 +176,138 @@ class TestFlashWindowAttention:
             assert np.isfinite(np.asarray(a)).all()
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-3, atol=2e-3)
+
+
+def _packed_oracle(q, k, v, bias, mask):
+    """Einsum oracle for the packed layout: q/k/v [BW, nh, N, D],
+    bias [nW, nh, N, N] (w = p % nW), mask [nLon, nW, N, N]
+    (lon = (p // nW) % nLon)."""
+    BW, nh, N, D = q.shape
+    nW = bias.shape[0]
+    nLon = mask.shape[0]
+    p_idx = np.arange(BW)
+    w = p_idx % nW
+    lon = (p_idx // nW) % nLon
+    s = jnp.einsum("bhnd,bhmd->bhnm", q * D**-0.5, k)
+    s = s + bias[w] + mask[lon, w][:, None]
+    probs = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhnm,bhmd->bhnd", probs, v)
+
+
+class TestPackedWindowAttention:
+    """Packed small-window kernel (Pangu earth attention) vs einsum oracle."""
+
+    def _rand(self, BW, nh, N, D, nW, nLon, seed=0):
+        r = np.random.default_rng(seed)
+        q = jnp.asarray(r.standard_normal((BW, nh, N, D)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((BW, nh, N, D)), jnp.float32)
+        v = jnp.asarray(r.standard_normal((BW, nh, N, D)), jnp.float32)
+        bias = jnp.asarray(0.1 * r.standard_normal((nW, nh, N, N)), jnp.float32)
+        mask = np.zeros((nLon, nW, N, N), np.float32)
+        # shift-mask-like blocks per (lon, w)
+        for lo in range(nLon):
+            for w in range(nW):
+                cut = (lo + w + 1) * N // (nLon + nW + 1)
+                mask[lo, w, :cut, cut:] = -100.0
+                mask[lo, w, cut:, :cut] = -100.0
+        return q, k, v, bias, jnp.asarray(mask)
+
+    @pytest.mark.parametrize("N,D,nh", [(144, 32, 2), (72, 16, 3)])
+    def test_matches_oracle(self, N, D, nh):
+        from dlwpbench_tpu.ops.pallas_attention import packed_window_attention
+
+        nW, nLon, B = 2, 3, 2
+        BW = B * nLon * nW
+        q, k, v, bias, mask = self._rand(BW, nh, N, D, nW, nLon)
+        want = np.asarray(_packed_oracle(q, k, v, bias, mask))
+        got = np.asarray(
+            packed_window_attention(q, k, v, bias, mask, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_no_mask(self):
+        from dlwpbench_tpu.ops.pallas_attention import packed_window_attention
+
+        nW, nh, N, D = 3, 2, 48, 8
+        BW = 2 * nW
+        q, k, v, bias, _ = self._rand(BW, nh, N, D, nW, 1, seed=3)
+        zero = jnp.zeros((1, 1, N, N), jnp.float32)
+        want = np.asarray(_packed_oracle(q, k, v, bias, zero))
+        got = np.asarray(packed_window_attention(q, k, v, bias, interpret=True))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_gradients(self):
+        """Fused backward (dq/dk/dv + in-kernel dbias accumulation over the
+        batch members) matches differentiating the einsum oracle."""
+        from dlwpbench_tpu.ops.pallas_attention import packed_window_attention
+
+        nW, nLon, nh, N, D = 2, 2, 2, 64, 16
+        B = 3
+        BW = B * nLon * nW
+        q, k, v, bias, mask = self._rand(BW, nh, N, D, nW, nLon, seed=5)
+        proj = jnp.cos(jnp.arange(D, dtype=jnp.float32))
+
+        def loss_packed(q, k, v, bias):
+            return (
+                packed_window_attention(q, k, v, bias, mask, interpret=True)
+                * proj
+            ).sum()
+
+        def loss_ref(q, k, v, bias):
+            return (_packed_oracle(q, k, v, bias, mask) * proj).sum()
+
+        g1 = jax.grad(loss_packed, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, a, b in zip(("q", "k", "v", "bias"), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name}",
+            )
+
+    def test_pangu_model_packed_matches_einsum(self):
+        """PanguWeather forced onto the packed kernel reproduces the einsum
+        path through full rollout steps (shifted + unshifted blocks)."""
+        from dlwpbench_tpu.models.pangu import PanguWeather
+
+        kw = dict(
+            constant_channels=1, prescribed_channels=0, prognostic_channels=2,
+            embed_dim=16, num_heads=(1, 2, 2, 1), patch_size=(1, 1),
+            n_lat=8, n_lon=16, context_size=1,
+        )
+        r = np.random.default_rng(7)
+        const = jnp.asarray(r.standard_normal((1, 1, 1, 8, 16)), jnp.float32)
+        prog = jnp.asarray(r.standard_normal((1, 3, 2, 8, 16)), jnp.float32)
+        pres = jnp.zeros((1, 3, 0, 8, 16), jnp.float32)
+
+        m_e = PanguWeather(use_flash_attention=False, **kw)
+        params = m_e.init(jax.random.PRNGKey(0), const, pres, prog)
+        out_e = m_e.apply(params, const, pres, prog)
+        m_p = PanguWeather(use_flash_attention="packed", **kw)
+        out_p = m_p.apply(params, const, pres, prog)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_e), rtol=2e-4, atol=2e-4
+        )
+
+    def test_swin_model_packed_matches_einsum(self):
+        """SwinTransformer forced onto the packed kernel reproduces the
+        einsum path (grouped bias, G=1 global windows)."""
+        from dlwpbench_tpu.models.swin import SwinTransformer
+
+        kw = dict(
+            img_height=8, img_width=16, patch_size=1,
+            constant_channels=1, prescribed_channels=0, prognostic_channels=2,
+            embed_dim=16, depths=(2, 2), num_heads=(2, 2), context_size=1,
+        )
+        r = np.random.default_rng(8)
+        const = jnp.asarray(r.standard_normal((1, 1, 1, 8, 16)), jnp.float32)
+        prog = jnp.asarray(r.standard_normal((1, 3, 2, 8, 16)), jnp.float32)
+        pres = jnp.zeros((1, 3, 0, 8, 16), jnp.float32)
+
+        m_e = SwinTransformer(use_flash_attention=False, **kw)
+        params = m_e.init(jax.random.PRNGKey(0), const, pres, prog)
+        out_e = m_e.apply(params, const, pres, prog)
+        m_p = SwinTransformer(use_flash_attention="packed", **kw)
+        out_p = m_p.apply(params, const, pres, prog)
+        np.testing.assert_allclose(
+            np.asarray(out_p), np.asarray(out_e), rtol=2e-4, atol=2e-4
+        )
