@@ -5,11 +5,13 @@ Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Methodology
 -----------
-Flagship config: U-Net (hidden 64-128-256, ~2.8M params), batch 64, 16-step
+Flagship config: U-Net (hidden 64-128-256, ~2.8M params), batch 128, 16-step
 autoregressive rollout (the reference's evaluation protocol: a 17-frame
 sequence -> 16 predicted steps, `configs/testing/default.yaml`), 8 prognostic
 channels on the 32x64 grid (t850, t2m, u10, v10, z300/500/700/1000 —
-`configs/data/weatherbench.yaml`).
+`configs/data/weatherbench.yaml`).  Batch 128 is the measured throughput
+knee of the chip for this model (64/128/256 -> 93/135/132M gp/s); the
+metric is steady-state grid-points/s, the production-rollout quantity.
 
 The host<->TPU relay on this rig has ~38 ms fixed round-trip latency, so the
 benchmark chains REPEATS rollouts inside one jit (each fed from the previous
@@ -45,7 +47,7 @@ REPEATS = 8
 
 
 def main():
-    B, T, Cc, Cp, Cq, H, W = 64, 17, 4, 1, 8, 32, 64
+    B, T, Cc, Cp, Cq, H, W = 128, 17, 4, 1, 8, 32, 64
     model = UNet(
         constant_channels=Cc,
         prescribed_channels=Cp,
