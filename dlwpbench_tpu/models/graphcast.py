@@ -70,15 +70,20 @@ class GraphCastNet(RolloutModel):
         )
         N, V = g2m.n_src, g2m.n_dst
         grid = x.reshape(B, N, Cin)
-        mesh_nf = jnp.broadcast_to(jnp.asarray(mesh_nfeat0), (B, V, 3))
+        # Static graph features are fp32 numpy; cast to the compute dtype so
+        # bf16 rollouts don't promote back to fp32 (scan carry must be stable).
+        cdt = x.dtype
+        mesh_nf = jnp.broadcast_to(
+            jnp.asarray(mesh_nfeat0, dtype=cdt), (B, V, 3)
+        )
         g2m_e = jnp.broadcast_to(
-            jnp.asarray(g2m.edge_feat), (B, *g2m.edge_feat.shape)
+            jnp.asarray(g2m.edge_feat, dtype=cdt), (B, *g2m.edge_feat.shape)
         )
         mesh_e = jnp.broadcast_to(
-            jnp.asarray(mesh_g.edge_feat), (B, *mesh_g.edge_feat.shape)
+            jnp.asarray(mesh_g.edge_feat, dtype=cdt), (B, *mesh_g.edge_feat.shape)
         )
         m2g_e = jnp.broadcast_to(
-            jnp.asarray(m2g.edge_feat), (B, *m2g.edge_feat.shape)
+            jnp.asarray(m2g.edge_feat, dtype=cdt), (B, *m2g.edge_feat.shape)
         )
 
         mlp = lambda: MeshGraphMLP(D, D, hl)

@@ -147,7 +147,11 @@ class MeshGraphNet(RolloutModel):
         relu = nn.relu
 
         nodes = x.reshape(B, N, Cin)
-        edges = jnp.broadcast_to(jnp.asarray(ef_np), (B, *ef_np.shape))
+        # fp32 numpy edge features cast to the compute dtype so bf16 rollouts
+        # don't promote the output back to fp32 (scan carry must be stable).
+        edges = jnp.broadcast_to(
+            jnp.asarray(ef_np, dtype=x.dtype), (B, *ef_np.shape)
+        )
 
         hd = self.hidden_dim_processor
         nodes = MeshGraphMLP(

@@ -120,15 +120,6 @@ def shift_window_mask(pad_resolution, window_size, shift_size) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _flash_block_pangu(n: int, cap: int = 256) -> int:
-    """Largest divisor of n that is <= cap and a multiple of 8 (0 if none)."""
-    best = 0
-    for b in range(8, min(n, cap) + 1, 8):
-        if n % b == 0:
-            best = b
-    return best
-
-
 class EarthAttention3D(nn.Module):
     """Earth-specific window attention consuming a PRECOMPUTED bias.
 
@@ -187,11 +178,11 @@ class EarthAttention3D(nn.Module):
 
         qkv = qkv.reshape(B_, nW, N, 3, nh, hd).transpose(3, 0, 4, 1, 2, 5)
 
-        blk = _flash_block_pangu(N)
         flash = self.use_flash is True or (
             self.use_flash is None and N >= 1024
         )
-        if flash and blk and hd % 8 == 0:
+        if flash and hd % 8 == 0:
+            # the wrapper handles any N (pads non-128-multiples internally)
             # Pallas fused path. Batch layout b = ((sample*nLon)+lon)*nW + w,
             # so a grouped bias [G, nh, N, N] with G = (nLon if masked else 1)
             # * nW is selected as group = b % G inside the kernel.
@@ -206,7 +197,7 @@ class EarthAttention3D(nn.Module):
                 nLon = mask.shape[0]
                 gb = gb[None] + mask[:, :, None]  # [nLon, nW, nh, N, N]
                 gb = gb.reshape(nLon * nW, nh, N, N)
-            out = flash_window_attention(q, k, v, gb, block_q=blk, block_k=blk)
+            out = flash_window_attention(q, k, v, gb)
             out = out.reshape(B_, nW, nh, N, hd).transpose(0, 2, 1, 3, 4)
         else:
             q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [B_, nh, nW, N, hd]

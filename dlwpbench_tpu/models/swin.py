@@ -83,15 +83,6 @@ def shift_attn_mask(Hp: int, Wp: int, wh: int, ww: int, sh: int, sw: int) -> np.
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
-def _flash_block(n: int, cap: int = 256) -> int:
-    """Largest divisor of n that is <= cap and a multiple of 8 (0 if none)."""
-    best = 0
-    for b in range(8, min(n, cap) + 1, 8):
-        if n % b == 0:
-            best = b
-    return best
-
-
 class WindowAttention(nn.Module):
     """Window attention consuming a PRECOMPUTED bias.
 
@@ -140,14 +131,14 @@ class WindowAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
             return nn.Dense(C, kernel_init=trunc_normal_init())(out)
 
-        blk = _flash_block(N)
         flash = self.use_flash is True or (
             self.use_flash is None and N >= 1024
         )
-        if flash and blk and hd % 8 == 0:
+        if flash and hd % 8 == 0:
+            # the wrapper handles any N (pads non-128-multiples internally)
             from dlwpbench_tpu.ops.pallas_attention import flash_window_attention
 
-            out = flash_window_attention(q, k, v, bias, block_q=blk, block_k=blk)
+            out = flash_window_attention(q, k, v, bias)
         else:
             if bias.ndim == 3:
                 attn = jnp.einsum("bhnd,bhmd->bhnm", q * scale, k) + bias[None]

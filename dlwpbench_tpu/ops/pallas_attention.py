@@ -610,5 +610,36 @@ def flash_window_attention(
 
     Differentiable: a custom VJP recomputes the einsum attention in the
     backward pass (flash forward, standard backward).
+
+    Any N is supported: Mosaic requires every block on the minor (lane)
+    axis — and every in-kernel dynamic slice offset along it — to be
+    128-aligned, so when N is not a multiple of 128 (odd grids, e.g. the
+    2.0-degree 90x180 global window N = 16200) the inputs are padded to
+    the next multiple with -1e9 bias columns for the phantom keys (their
+    softmax weight underflows to 0) and the output rows sliced back.
+    <=0.8% overhead at the shapes this triggers on; gradients flow through
+    jnp.pad's slice adjoint, so dBias keeps its exact shape.
     """
-    return _flash_diff(q, k, v, bias, block_q, block_k, interpret)
+    N = q.shape[2]
+    aligned = lambda b: b % 128 == 0 or b == N
+    if interpret or (
+        N % 128 == 0
+        and N % min(block_q, N) == 0
+        and N % min(block_k, N) == 0
+        and aligned(min(block_q, N))
+        and aligned(min(block_k, N))
+    ):
+        return _flash_diff(q, k, v, bias, block_q, block_k, interpret)
+
+    pad = (-N) % 128
+    Np = N + pad
+    bq = 256 if Np % 256 == 0 else 128
+    spatial = ((0, 0),) * (q.ndim - 2) + ((0, pad), (0, 0))
+    qp, kp, vp = (jnp.pad(x, spatial) for x in (q, k, v))
+    bias_pad = ((0, 0),) * (bias.ndim - 2) + ((0, pad), (0, pad))
+    biasp = jnp.pad(bias, bias_pad)
+    if pad:
+        # mask the phantom keys for every (real or phantom) query row
+        biasp = biasp.at[..., :, N:].set(-1e9)
+    out = _flash_diff(qp, kp, vp, biasp, bq, bq, interpret)
+    return out[..., :N, :]
