@@ -115,6 +115,22 @@ class Preprocessor:
         shape = self._trend_coef.shape[1:]
         return self._trend(tnum, shape).reshape(n_steps, *shape)
 
+    @property
+    def trend(self) -> np.ndarray:
+        """Fitted trend coefficients [deg+1, ...] (reference `Preprocessor.trend`,
+        `preprocessing.py:460-470`)."""
+        if self._trend_coef is None:
+            raise RuntimeError("call fit() first")
+        return self._trend_coef
+
+    @property
+    def climatology(self) -> np.ndarray:
+        """Fitted day-of-year climatology [366, ...] (reference
+        `Preprocessor.climatology`, `preprocessing.py:472-484`)."""
+        if self._clim is None:
+            raise RuntimeError("call fit() first")
+        return self._clim
+
     def inverse_transform(self, data: np.ndarray, times) -> np.ndarray:
         data = np.asarray(data, np.float64)
         T = data.shape[0]
@@ -247,7 +263,8 @@ def zonal_wave_analysis(
     else:
         dt_s = 86400.0
     frequencies = np.fft.fftfreq(len(bin_times), d=dt_s)
-    with np.errstate(divide="ignore"):
+    # wavenumber 0 has no phase speed: 1/0 -> inf and 0*inf -> nan by design
+    with np.errstate(divide="ignore", invalid="ignore"):
         phase_speed = np.outer(frequencies, 1.0 / wavenumbers)
     return {
         "series": band,

@@ -202,6 +202,82 @@ def long_rollout_mean_std_plot(
     plt.close(fig)
 
 
+def hovmoller_plot(
+    series: np.ndarray,
+    lons: np.ndarray,
+    out_path: str,
+    var: str = "z500",
+    title_suffix: str = "",
+):
+    """Time x longitude Hovmoller of a latitude-band mean (reference
+    `preprocessing.py:595-619` `plot_val_at_lat`): rows = longitude,
+    columns = time step.  `series` is the [T, W] band-mean series from
+    `zonal_wave_analysis`."""
+    series = np.asarray(series)
+    fig, ax = plt.subplots(figsize=(9, 4.5))
+    im = ax.imshow(
+        series.T, aspect="auto", cmap="viridis", origin="lower",
+        extent=[0, series.shape[0], float(np.min(lons)), float(np.max(lons))],
+    )
+    fig.colorbar(im, ax=ax, label=var)
+    ax.set_title(f"{var} latitude-band mean {title_suffix}".strip())
+    ax.set_xlabel("time step")
+    ax.set_ylabel("longitude")
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def zonal_fft_amplitude_plot(
+    amplitude: np.ndarray,
+    out_path: str,
+    time_indices: tuple[int, ...] = (0,),
+    var: str = "z500",
+):
+    """Zonal FFT amplitude spectrum at selected time steps (reference
+    `preprocessing.py:626-652` `plot_latitude`, which overlays latitudes;
+    here the band mean is already taken, so the overlay is over the
+    selected time steps).  `amplitude` is [T, W] from
+    `zonal_wave_analysis`."""
+    amplitude = np.asarray(amplitude)
+    n_lon = amplitude.shape[-1]
+    k = np.arange(n_lon // 2)
+    fig, ax = plt.subplots(figsize=(7, 3.5))
+    for t in time_indices:
+        ax.plot(k, amplitude[t, : n_lon // 2], label=f"t={t}")
+    ax.set_xlabel("zonal wavenumber")
+    ax.set_ylabel("amplitude")
+    ax.set_title(f"Zonal FFT amplitude spectrum {var}")
+    ax.legend(fontsize=6)
+    ax.grid(True, linestyle="--", alpha=0.5)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
+def zonal_wavenumber_distribution_plot(
+    amplitude: np.ndarray,
+    out_path: str,
+    max_wavenumber: int = 14,
+    var: str = "z500",
+):
+    """Amplitude distribution per zonal wavenumber over all time steps
+    (reference `preprocessing.py:653-683` `plot_wavenumbers`, a seaborn
+    boxplot; rendered with matplotlib's boxplot — same statistic)."""
+    amplitude = np.asarray(amplitude)
+    ks = range(1, min(max_wavenumber, amplitude.shape[-1] // 2) + 1)
+    data = [amplitude[:, k] for k in ks]
+    fig, ax = plt.subplots(figsize=(8, 4))
+    ax.boxplot(data, tick_labels=[str(k) for k in ks])
+    ax.set_xlabel("wavenumber")
+    ax.set_ylabel("amplitude")
+    ax.set_title(f"Zonal FFT amplitude distribution, {var}")
+    ax.grid(True, linestyle="--", alpha=0.5)
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=120)
+    plt.close(fig)
+
+
 def kinetic_energy_spectrum_plot(
     spectra: dict[str, np.ndarray], out_path: str
 ):
@@ -215,3 +291,28 @@ def kinetic_energy_spectrum_plot(
     fig.tight_layout()
     fig.savefig(out_path, dpi=120)
     plt.close(fig)
+
+
+def make_gif(frames: np.ndarray, out_path: str, fps: int = 4,
+             cmap: str = "viridis", var: str = ""):
+    """Animated GIF of a [T, H, W] field (reference `preprocessing.py:620-624`
+    `make_gif`, which wraps geogif; here rendered frame-by-frame with
+    matplotlib + pillow — both baked into this image)."""
+    from PIL import Image
+
+    frames = np.asarray(frames)
+    vmin, vmax = float(np.nanmin(frames)), float(np.nanmax(frames))
+    images = []
+    for t in range(frames.shape[0]):
+        fig, ax = plt.subplots(figsize=(4, 2.2), dpi=80)
+        ax.imshow(frames[t], origin="lower", cmap=cmap, vmin=vmin, vmax=vmax)
+        ax.set_title(f"{var} t={t}".strip())
+        ax.axis("off")
+        fig.tight_layout(pad=0.1)
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+        images.append(Image.fromarray(buf.copy()))
+        plt.close(fig)
+    images[0].save(out_path, save_all=True, append_images=images[1:],
+                   duration=int(1000 / fps), loop=0)
+    return out_path
