@@ -23,6 +23,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
@@ -41,45 +42,83 @@ def reference_attention(q, k, v, bias, scale):
     return jnp.einsum("bhnm,bhmd->bhnd", p, v)
 
 
-def _attn_kernel(
-    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *, scale, block_k, n_kv
-):
-    # block shapes: q [1,1,block_q,D]; k/v [1,1,N,D]; bias [1,1,block_q,N];
-    # lse out [1,1,block_q,1] (log-sum-exp per row, consumed by the flash
-    # backward kernels)
-    q = q_ref[0, 0] * scale
-    D = q.shape[-1]
-    bq = q.shape[0]
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        v_blk = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        b_blk = bias_ref[0, 0, :, pl.ds(i * block_k, block_k)]
-        s = (
-            jax.lax.dot_general(
-                q, k_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b_blk
-        )
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jax.lax.dot_general(
-            p, v_blk, (((1,), (0,)), ((), ())),
+
+def _pick_block(n: int, cap: int = 256) -> int:
+    """Block size for one attention axis: the whole axis when it is small
+    (block == dim is always legal), else a 128-multiple `cdiv` grid with the
+    tail handled by in-kernel iota masking."""
+    if n <= cap and (n <= 128 or n % 128 == 0):
+        return n
+    return cap if n % cap == 0 or n > 2 * cap else 128
+
+
+def _col_mask(j, bk, n_valid, rows):
+    """[rows, bk] bool: global key-column index < n_valid (tail masking)."""
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, bk), 1) + j * bk
+    return col < n_valid
+
+
+def _attn_kernel(
+    q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
+    *, scale, block_k, n_kv, n_valid, k_tail
+):
+    """Streaming forward: grid (B, H, Nq_blocks, Nk_blocks), k innermost.
+    K/V/bias arrive as grid blocks (no in-kernel dynamic slices, so N need
+    not be 128-aligned: the tail block's out-of-bounds lanes are masked with
+    iota — no host-side padding of any operand).  The online-softmax state
+    (acc, running max m, running sum l) lives in VMEM scratch across the
+    k sweep; outputs are written on the last k step."""
+    j = pl.program_id(3)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0, 0] * scale
+    k_blk = k_ref[0, 0]
+    v_blk = v_ref[0, 0]
+    bq = q.shape[0]
+    s = (
+        jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return acc, m_new, l_new
+        + bias_ref[0, 0]
+    )
+    if k_tail:
+        # tail block: out-of-bounds key columns read unspecified memory;
+        # force their scores to -inf (select also kills any NaN) and zero
+        # the phantom V rows so p=0 times garbage can't poison the
+        # accumulator (0 * NaN = NaN).
+        s = jnp.where(_col_mask(j, block_k, n_valid, bq), s, NEG_INF)
+        krow = jax.lax.broadcasted_iota(
+            jnp.int32, v_blk.shape, 0
+        ) + j * block_k
+        v_blk = jnp.where(krow < n_valid, v_blk, 0.0)
 
-    acc0 = jnp.zeros((bq, D), jnp.float32)
-    m0 = jnp.full((bq, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((bq, 1), jnp.float32)
-    acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
-    o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(l)
+    m_prev = m_ref[:, :1]
+    l_prev = l_ref[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
+        p, v_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[...] = jnp.broadcast_to(m_new, m_ref.shape)
+    l_ref[...] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(j == n_kv - 1)
+    def _flush():
+        o_ref[0, 0] = (acc_ref[...] / l_new).astype(o_ref.dtype)
+        lse_ref[0, 0] = m_new + jnp.log(l_new)
 
 
 @functools.partial(
@@ -98,18 +137,20 @@ def _flash_impl(
         interpret = True  # CPU/GPU: run the kernel through the interpreter
     B, H, N, D = q.shape
     scale = D**-0.5
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
-    assert N % block_q == 0 and N % block_k == 0, (N, block_q, block_k)
+    block_q = _pick_block(min(block_q, N))
+    block_k = _pick_block(min(block_k, N))
+    nq, nk = _cdiv(N, block_q), _cdiv(N, block_k)
+    k_tail = N % block_k != 0
 
     if bias.ndim == 3:
         bias = bias[None]  # [1, H, N, N]
     G = bias.shape[0]
     assert B % G == 0, (B, G)
 
-    grid = (B, H, N // block_q)
+    grid = (B, H, nq, nk)
     kernel = functools.partial(
-        _attn_kernel, scale=scale, block_k=block_k, n_kv=N // block_k
+        _attn_kernel, scale=scale, block_k=block_k, n_kv=nk,
+        n_valid=N, k_tail=k_tail,
     )
     out, lse = pl.pallas_call(
         kernel,
@@ -119,114 +160,177 @@ def _flash_impl(
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, N, D), lambda b, h, i: (b, h, 0, 0)),
-            pl.BlockSpec((1, 1, N, D), lambda b, h, i: (b, h, 0, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
+            pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j: (b, h, j, 0)),
             pl.BlockSpec(
-                (1, 1, block_q, N), lambda b, h, i: (jax.lax.rem(b, G), h, i, 0)
+                (1, 1, block_q, block_k),
+                lambda b, h, i, j: (jax.lax.rem(b, G), h, i, j),
             ),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, D), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
         interpret=interpret,
     )(q, k, v, bias)
     return out, lse
 
 
-def _bwd_dq_dbias_kernel(
+def _dq_ds_blocks(q, k_blk, v_blk, b_blk, do, lse, drow, j, block_k,
+                  n_valid, k_tail):
+    """Shared dS-block math for the dQ/dBias kernels: returns (ds, k_blk)
+    with the tail's phantom key columns fully neutralized."""
+    s = (
+        jax.lax.dot_general(
+            q, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + b_blk
+    )
+    if k_tail:
+        bq = q.shape[0]
+        s = jnp.where(_col_mask(j, block_k, n_valid, bq), s, NEG_INF)
+        krow = jax.lax.broadcasted_iota(
+            jnp.int32, v_blk.shape, 0
+        ) + j * block_k
+        v_blk = jnp.where(krow < n_valid, v_blk, 0.0)
+        k_blk = jnp.where(krow < n_valid, k_blk, 0.0)
+    p = jnp.exp(s - lse)  # [bq, bk]; phantom cols -> exp(-inf) = 0
+    dp = jax.lax.dot_general(
+        do, v_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - drow)
+    return ds, k_blk
+
+
+def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, drow_ref,
-    dq_ref, dbias_ref, *, scale, block_k, n_kv, n_member,
+    dq_ref, dbias_ref, dq_acc, *, scale, block_k, n_kv, n_valid, k_tail,
+    emit_dbias,
 ):
-    """dQ + dBias, grid (G, H, Nq_blocks, B//G) — the member index j is the
-    INNERMOST (sequential) grid dim, so the dbias output block (indexed by
-    (g, h, i) only) is revisited on consecutive steps and accumulates the
-    group's dS sum; dq is per-batch (b = g + j*G) and written once."""
+    """dQ (+ dBias when every batch row owns its own bias group, G == B),
+    grid (B, H, Nq_blocks, Nk_blocks) with k innermost: dq accumulates in
+    VMEM scratch across the k sweep; each visited (i, j) tile of dS is the
+    dbias block and is written exactly once."""
     j = pl.program_id(3)
-    q = q_ref[0, 0] * scale
-    do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]  # [bq, 1]
-    drow = drow_ref[0, 0]  # [bq, 1]
-    D = q.shape[-1]
-    bq = q.shape[0]
 
     @pl.when(j == 0)
     def _init():
-        dbias_ref[0, 0] = jnp.zeros_like(dbias_ref[0, 0])
+        dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    def body(i, dq_acc):
-        k_blk = k_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        v_blk = v_ref[0, 0, pl.ds(i * block_k, block_k), :]
-        b_blk = bias_ref[0, 0, :, pl.ds(i * block_k, block_k)]
-        s = (
-            jax.lax.dot_general(
-                q, k_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b_blk
-        )
-        p = jnp.exp(s - lse)  # [bq, bk]
-        dp = jax.lax.dot_general(
-            do, v_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - drow)
-        sl = pl.ds(i * block_k, block_k)
-        dbias_ref[0, 0, :, sl] = dbias_ref[0, 0, :, sl] + ds
-        return dq_acc + jax.lax.dot_general(
-            ds, k_blk, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    q = q_ref[0, 0] * scale
+    do = do_ref[0, 0].astype(jnp.float32)
+    ds, k_blk = _dq_ds_blocks(
+        q, k_ref[0, 0], v_ref[0, 0], bias_ref[0, 0], do,
+        lse_ref[0, 0], drow_ref[0, 0], j, block_k, n_valid, k_tail,
+    )
+    if emit_dbias:
+        dbias_ref[0, 0] = ds
+    dq_acc[...] = dq_acc[...] + jax.lax.dot_general(
+        ds, k_blk, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    dq = jax.lax.fori_loop(0, n_kv, body, jnp.zeros((bq, D), jnp.float32))
-    dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
+    @pl.when(j == n_kv - 1)
+    def _flush():
+        dq_ref[0, 0] = (dq_acc[...] * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dbias_kernel(
+    q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, drow_ref,
+    dbias_ref, *, scale, block_k, n_valid, k_tail, n_member,
+):
+    """dBias for grouped bias (G < B), grid (G, H, Nq, Nk, B//G) with the
+    member index m INNERMOST: the dbias block (g, h, i, j) is revisited on
+    consecutive steps and accumulates the group's dS sum in-place."""
+    j = pl.program_id(3)
+    m = pl.program_id(4)
+    q = q_ref[0, 0] * scale
+    do = do_ref[0, 0].astype(jnp.float32)
+    ds, _ = _dq_ds_blocks(
+        q, k_ref[0, 0], v_ref[0, 0], bias_ref[0, 0], do,
+        lse_ref[0, 0], drow_ref[0, 0], j, block_k, n_valid, k_tail,
+    )
+
+    @pl.when(m == 0)
+    def _first():
+        dbias_ref[0, 0] = ds
+
+    @pl.when(m > 0)
+    def _accum():
+        dbias_ref[0, 0] = dbias_ref[0, 0] + ds
 
 
 def _bwd_dkv_kernel(
     q_ref, k_ref, v_ref, bias_ref, do_ref, lse_ref, drow_ref,
-    dk_ref, dv_ref, *, scale, block_q, n_q,
+    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, block_q, n_q, n_valid, q_tail,
 ):
-    """dK + dV, grid (B, H, Nk_blocks): k/v blocks resident, q/dO stream."""
+    """dK + dV, grid (B, H, Nk_blocks, Nq_blocks) with q innermost: the k/v
+    tile's gradients accumulate in VMEM scratch while q/dO/lse stream by as
+    grid blocks.  The q tail's phantom rows are zeroed (they would otherwise
+    contribute garbage to the in-bounds dk/dv sums); phantom K-tile rows
+    need no masking — their garbage lands in output rows the boundary
+    store discards."""
+    i = pl.program_id(3)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
     k_blk = k_ref[0, 0]  # [bk, D]
     v_blk = v_ref[0, 0]
-    D = k_blk.shape[-1]
-    bk = k_blk.shape[0]
+    q_blk = q_ref[0, 0] * scale
+    do_blk = do_ref[0, 0].astype(jnp.float32)
+    lse_blk = lse_ref[0, 0]
+    drow_blk = drow_ref[0, 0]
+    if q_tail:
+        qrow = jax.lax.broadcasted_iota(
+            jnp.int32, q_blk.shape, 0
+        ) + i * block_q
+        rmask = qrow < n_valid
+        q_blk = jnp.where(rmask, q_blk, 0.0)
+        do_blk = jnp.where(rmask, do_blk, 0.0)
+    s = (
+        jax.lax.dot_general(
+            q_blk, k_blk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        + bias_ref[0, 0]
+    )
+    p = jnp.exp(s - lse_blk)  # [bq, bk]
+    dp = jax.lax.dot_general(
+        do_blk, v_blk, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - drow_blk)
+    if q_tail:
+        rmask1 = (
+            jax.lax.broadcasted_iota(jnp.int32, p.shape, 0) + i * block_q
+            < n_valid
+        )
+        p = jnp.where(rmask1, p, 0.0)
+        ds = jnp.where(rmask1, ds, 0.0)
+    dv_acc[...] = dv_acc[...] + jax.lax.dot_general(
+        p, do_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_acc[...] = dk_acc[...] + jax.lax.dot_general(
+        ds, q_blk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
-    def body(i, carry):
-        dk_acc, dv_acc = carry
-        q_blk = q_ref[0, 0, pl.ds(i * block_q, block_q), :] * scale
-        do_blk = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(jnp.float32)
-        lse_blk = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        drow_blk = drow_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        b_blk = bias_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        s = (
-            jax.lax.dot_general(
-                q_blk, k_blk, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            + b_blk
-        )
-        p = jnp.exp(s - lse_blk)  # [bq, bk]
-        dv_acc = dv_acc + jax.lax.dot_general(
-            p, do_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do_blk, v_blk, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - drow_blk)
-        dk_acc = dk_acc + jax.lax.dot_general(
-            ds, q_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return dk_acc, dv_acc
-
-    z = jnp.zeros((bk, D), jnp.float32)
-    dk, dv = jax.lax.fori_loop(0, n_q, body, (z, z))
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)  # q already carried `scale`
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    @pl.when(i == n_q - 1)
+    def _flush():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)  # q carried `scale`
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
@@ -245,17 +349,18 @@ def _flash_fwd(q, k, v, bias, block_q, block_k, interpret):
 
 
 def _flash_bwd(block_q, block_k, interpret, res, g):
-    """Fused flash backward: three Pallas passes (fwd-with-lse residuals,
-    dQ+dBias, dK+dV) — the [N, N] score matrix never touches HBM in the
-    backward either.  dBias sums dS over each bias group's batch members
-    inside the kernel via grid-revisit accumulation."""
+    """Fused flash backward: streaming Pallas passes (dQ [+dBias], dK+dV,
+    and a dBias member-sum pass for grouped bias) — the [N, N] score matrix
+    never touches HBM in the backward either, and no operand is padded."""
     q, k, v, bias, out, lse = res
     if not interpret and jax.default_backend() not in ("tpu", "axon"):
         interpret = True
     B, H, N, D = q.shape
     scale = D**-0.5
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
+    block_q = _pick_block(min(block_q, N))
+    block_k = _pick_block(min(block_k, N))
+    nq, nk = _cdiv(N, block_q), _cdiv(N, block_k)
+    q_tail, k_tail = N % block_q != 0, N % block_k != 0
 
     bias_was_3d = bias.ndim == 3
     bias4 = bias[None] if bias_was_3d else bias
@@ -266,66 +371,102 @@ def _flash_bwd(block_q, block_k, interpret, res, g):
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
     )  # [B, H, N, 1]
 
-    # --- dQ + dBias ---------------------------------------------------
-    grid1 = (G, H, N // block_q, B // G)
+    qd = lambda b, h, i, j: (b, h, i, 0)    # q/dO/lse/drow blocks (row i)
+    kd = lambda b, h, i, j: (b, h, j, 0)    # k/v blocks (col j)
+    bd = lambda b, h, i, j: (jax.lax.rem(b, G), h, i, j)
+
+    # --- dQ (+ dBias when G == B) --------------------------------------
     k1 = functools.partial(
-        _bwd_dq_dbias_kernel, scale=scale, block_k=block_k,
-        n_kv=N // block_k, n_member=B // G,
+        _bwd_dq_kernel, scale=scale, block_k=block_k, n_kv=nk,
+        n_valid=N, k_tail=k_tail, emit_dbias=G == B,
     )
-    b_idx = lambda gi, h, i, j: (gi + j * G, h, i, 0)
-    bn_idx = lambda gi, h, i, j: (gi + j * G, h, 0, 0)
     dq, dbias = pl.pallas_call(
         k1,
         out_shape=(
             jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
-            jax.ShapeDtypeStruct((G, H, N, N), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (G, H, N, N) if G == B else (1, 1, 1, 1), jnp.float32
+            ),
         ),
-        grid=grid1,
+        grid=(B, H, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, D), b_idx),   # q
-            pl.BlockSpec((1, 1, N, D), bn_idx),        # k
-            pl.BlockSpec((1, 1, N, D), bn_idx),        # v
-            pl.BlockSpec((1, 1, block_q, N), lambda gi, h, i, j: (gi, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, D), b_idx),   # dO
-            pl.BlockSpec((1, 1, block_q, 1), b_idx),   # lse
-            pl.BlockSpec((1, 1, block_q, 1), b_idx),   # drow
+            pl.BlockSpec((1, 1, block_q, D), qd),       # q
+            pl.BlockSpec((1, 1, block_k, D), kd),       # k
+            pl.BlockSpec((1, 1, block_k, D), kd),       # v
+            pl.BlockSpec((1, 1, block_q, block_k), bd),  # bias
+            pl.BlockSpec((1, 1, block_q, D), qd),       # dO
+            pl.BlockSpec((1, 1, block_q, 1), qd),       # lse
+            pl.BlockSpec((1, 1, block_q, 1), qd),       # drow
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block_q, D), b_idx),
-            pl.BlockSpec((1, 1, block_q, N), lambda gi, h, i, j: (gi, h, i, 0)),
+            pl.BlockSpec((1, 1, block_q, D), qd),
+            pl.BlockSpec((1, 1, block_q, block_k), bd)
+            if G == B
+            else pl.BlockSpec((1, 1, 1, 1), lambda b, h, i, j: (0, 0, 0, 0)),
         ),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
         interpret=interpret,
     )(q, k, v, bias4, do, lse, drow)
 
+    # --- dBias for grouped bias (G < B): sum dS over the group's batch
+    # members via consecutive-revisit accumulation (member index innermost).
+    if G != B:
+        k3 = functools.partial(
+            _bwd_dbias_kernel, scale=scale, block_k=block_k,
+            n_valid=N, k_tail=k_tail, n_member=B // G,
+        )
+        mqd = lambda gi, h, i, j, m: (gi + m * G, h, i, 0)
+        mkd = lambda gi, h, i, j, m: (gi + m * G, h, j, 0)
+        gbd = lambda gi, h, i, j, m: (gi, h, i, j)
+        dbias = pl.pallas_call(
+            k3,
+            out_shape=jax.ShapeDtypeStruct((G, H, N, N), jnp.float32),
+            grid=(G, H, nq, nk, B // G),
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, D), mqd),       # q
+                pl.BlockSpec((1, 1, block_k, D), mkd),       # k
+                pl.BlockSpec((1, 1, block_k, D), mkd),       # v
+                pl.BlockSpec((1, 1, block_q, block_k), gbd),  # bias
+                pl.BlockSpec((1, 1, block_q, D), mqd),       # dO
+                pl.BlockSpec((1, 1, block_q, 1), mqd),       # lse
+                pl.BlockSpec((1, 1, block_q, 1), mqd),       # drow
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, block_k), gbd),
+            interpret=interpret,
+        )(q, k, v, bias4, do, lse, drow)
+
     # --- dK + dV ------------------------------------------------------
-    grid2 = (B, H, N // block_k)
     k2 = functools.partial(
-        _bwd_dkv_kernel, scale=scale, block_q=block_q, n_q=N // block_q
+        _bwd_dkv_kernel, scale=scale, block_q=block_q, n_q=nq,
+        n_valid=N, q_tail=q_tail,
     )
-    full = lambda b, h, i: (b, h, 0, 0)
-    blk = lambda b, h, i: (b, h, i, 0)
+    kvq = lambda b, h, j, i: (b, h, i, 0)   # q/dO/lse/drow (row i, inner)
+    kvk = lambda b, h, j, i: (b, h, j, 0)   # k/v/dk/dv (col j, outer)
+    kvb = lambda b, h, j, i: (jax.lax.rem(b, G), h, i, j)
     dk, dv = pl.pallas_call(
         k2,
         out_shape=(
             jax.ShapeDtypeStruct((B, H, N, D), k.dtype),
             jax.ShapeDtypeStruct((B, H, N, D), v.dtype),
         ),
-        grid=grid2,
+        grid=(B, H, nk, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, N, D), full),          # q
-            pl.BlockSpec((1, 1, block_k, D), blk),     # k
-            pl.BlockSpec((1, 1, block_k, D), blk),     # v
-            pl.BlockSpec(
-                (1, 1, N, block_k), lambda b, h, i: (jax.lax.rem(b, G), h, 0, i)
-            ),
-            pl.BlockSpec((1, 1, N, D), full),          # dO
-            pl.BlockSpec((1, 1, N, 1), full),          # lse
-            pl.BlockSpec((1, 1, N, 1), full),          # drow
+            pl.BlockSpec((1, 1, block_q, D), kvq),       # q
+            pl.BlockSpec((1, 1, block_k, D), kvk),       # k
+            pl.BlockSpec((1, 1, block_k, D), kvk),       # v
+            pl.BlockSpec((1, 1, block_q, block_k), kvb),  # bias
+            pl.BlockSpec((1, 1, block_q, D), kvq),       # dO
+            pl.BlockSpec((1, 1, block_q, 1), kvq),       # lse
+            pl.BlockSpec((1, 1, block_q, 1), kvq),       # drow
         ],
         out_specs=(
-            pl.BlockSpec((1, 1, block_k, D), blk),
-            pl.BlockSpec((1, 1, block_k, D), blk),
+            pl.BlockSpec((1, 1, block_k, D), kvk),
+            pl.BlockSpec((1, 1, block_k, D), kvk),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
         interpret=interpret,
     )(q, k, v, bias4, do, lse, drow)
 
@@ -608,38 +749,13 @@ def flash_window_attention(
     Pangu's per-window-type earth bias (b = ((sample*nLon)+lon)*nW + w with
     bias [nLon*nW, H, N, N] -> group index lon*nW + w = b % G).
 
-    Differentiable: a custom VJP recomputes the einsum attention in the
-    backward pass (flash forward, standard backward).
+    Differentiable: a custom VJP runs fused streaming backward kernels
+    (the [N, N] scores never touch HBM in either direction).
 
-    Any N is supported: Mosaic requires every block on the minor (lane)
-    axis — and every in-kernel dynamic slice offset along it — to be
-    128-aligned, so when N is not a multiple of 128 (odd grids, e.g. the
-    2.0-degree 90x180 global window N = 16200) the inputs are padded to
-    the next multiple with -1e9 bias columns for the phantom keys (their
-    softmax weight underflows to 0) and the output rows sliced back.
-    <=0.8% overhead at the shapes this triggers on; gradients flow through
-    jnp.pad's slice adjoint, so dBias keeps its exact shape.
+    Any N is supported natively: K/V/bias stream through the grid as
+    `cdiv` blocks and the tail block's phantom keys are neutralized with
+    iota masks inside the kernels — no operand is ever padded on the host
+    (at the 2.0-degree 90x180 global window, N = 16200, padding the bias
+    alone would cost two extra ~3.2 GB HBM tensors).
     """
-    N = q.shape[2]
-    aligned = lambda b: b % 128 == 0 or b == N
-    if interpret or (
-        N % 128 == 0
-        and N % min(block_q, N) == 0
-        and N % min(block_k, N) == 0
-        and aligned(min(block_q, N))
-        and aligned(min(block_k, N))
-    ):
-        return _flash_diff(q, k, v, bias, block_q, block_k, interpret)
-
-    pad = (-N) % 128
-    Np = N + pad
-    bq = 256 if Np % 256 == 0 else 128
-    spatial = ((0, 0),) * (q.ndim - 2) + ((0, pad), (0, 0))
-    qp, kp, vp = (jnp.pad(x, spatial) for x in (q, k, v))
-    bias_pad = ((0, 0),) * (bias.ndim - 2) + ((0, pad), (0, pad))
-    biasp = jnp.pad(bias, bias_pad)
-    if pad:
-        # mask the phantom keys for every (real or phantom) query row
-        biasp = biasp.at[..., :, N:].set(-1e9)
-    out = _flash_diff(qp, kp, vp, biasp, bq, bq, interpret)
-    return out[..., :N, :]
+    return _flash_diff(q, k, v, bias, block_q, block_k, interpret)

@@ -151,9 +151,10 @@ class TestFlashWindowAttention:
 
     def test_gradients_unaligned_n(self):
         """N not a multiple of 128 (odd grids, e.g. 90x180 global windows ->
-        N = 16200): the wrapper pads to the next 128 multiple with -1e9
-        phantom-key bias columns; outputs and all four gradients still
-        match the einsum oracle at the ORIGINAL shapes."""
+        N = 16200): the kernels stream cdiv blocks and iota-mask the tail's
+        phantom keys in-kernel (no operand padding); outputs and all four
+        gradients match the einsum oracle.  G < B here, so the grouped
+        member-sum dBias kernel runs with tail masking."""
         import jax
 
         from dlwpbench_tpu.ops.pallas_attention import (
@@ -161,7 +162,7 @@ class TestFlashWindowAttention:
             reference_attention,
         )
 
-        G, H, N, D = 2, 2, 216, 16   # pads to 256
+        G, H, N, D = 2, 2, 216, 16   # cdiv blocks of 128, tail 88
         B = 2 * G
         r = np.random.default_rng(11)
         q = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
@@ -169,8 +170,8 @@ class TestFlashWindowAttention:
         v = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
         bias = jnp.asarray(0.1 * r.standard_normal((G, H, N, N)), jnp.float32)
 
-        # interpret=False: on CPU the inner impl auto-interprets, but the
-        # wrapper still takes the TPU padding branch under test.
+        # interpret=False: on CPU the impl auto-interprets; the tail-masked
+        # streaming path is what runs on TPU too.
         out = flash_window_attention(q, k, v, bias)
         ref = reference_attention(q, k, v, bias, D**-0.5)
         assert out.shape == (B, H, N, D)
@@ -355,3 +356,45 @@ class TestPackedWindowAttention:
         np.testing.assert_allclose(
             np.asarray(out_p), np.asarray(out_e), rtol=2e-4, atol=2e-4
         )
+
+    def test_gradients_unaligned_n_per_batch_bias(self):
+        """Unaligned N with G == B (every batch row owns its bias group):
+        the dQ kernel emits dBias blocks directly; tail q-rows/k-cols of
+        each dS tile must be discarded by the boundary store."""
+        import jax
+
+        from dlwpbench_tpu.ops.pallas_attention import (
+            flash_window_attention,
+            reference_attention,
+        )
+
+        G, H, N, D = 2, 2, 216, 16
+        B = G  # G == B
+        r = np.random.default_rng(12)
+        q = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        v = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        bias = jnp.asarray(0.1 * r.standard_normal((G, H, N, N)), jnp.float32)
+
+        out = flash_window_attention(q, k, v, bias)
+        ref = reference_attention(q, k, v, bias, D**-0.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-3, atol=2e-3
+        )
+
+        g1 = jax.grad(
+            lambda q, k, v, b:
+            (flash_window_attention(q, k, v, b) ** 2).sum(),
+            argnums=(0, 1, 2, 3),
+        )(q, k, v, bias)
+        g2 = jax.grad(
+            lambda q, k, v, b:
+            (reference_attention(q, k, v, b, D**-0.5) ** 2).sum(),
+            argnums=(0, 1, 2, 3),
+        )(q, k, v, bias)
+        for name, a, b in zip("qkvb", g1, g2):
+            assert a.shape == b.shape, name
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name}",
+            )
