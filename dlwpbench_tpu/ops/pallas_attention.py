@@ -177,6 +177,10 @@ def _flash_impl(
             pltpu.VMEM((block_q, 128), jnp.float32),
             pltpu.VMEM((block_q, 128), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
         interpret=interpret,
     )(q, k, v, bias)
     return out, lse
@@ -405,6 +409,10 @@ def _flash_bwd(block_q, block_k, interpret, res, g):
             else pl.BlockSpec((1, 1, 1, 1), lambda b, h, i, j: (0, 0, 0, 0)),
         ),
         scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
         interpret=interpret,
     )(q, k, v, bias4, do, lse, drow)
 
@@ -432,6 +440,10 @@ def _flash_bwd(block_q, block_k, interpret, res, g):
                 pl.BlockSpec((1, 1, block_q, 1), mqd),       # drow
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, block_k), gbd),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "parallel",
+                                     "parallel", "arbitrary"),
+            ),
             interpret=interpret,
         )(q, k, v, bias4, do, lse, drow)
 
@@ -467,6 +479,10 @@ def _flash_bwd(block_q, block_k, interpret, res, g):
             pltpu.VMEM((block_k, D), jnp.float32),
             pltpu.VMEM((block_k, D), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
         interpret=interpret,
     )(q, k, v, bias4, do, lse, drow)
 
