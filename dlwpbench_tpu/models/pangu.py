@@ -92,9 +92,12 @@ def window_reverse_3d(win_x: jax.Array, win, Pl, Lat, Lon) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=None)
-def shift_window_mask(pad_resolution, window_size, shift_size) -> np.ndarray:
-    """[nLon, nPl*nLat, N, N] of {0, -100}; longitude halves merged
-    (reference `utils/shift_window_mask.py:40-73`)."""
+def shift_window_groups_3d(pad_resolution, window_size, shift_size) -> np.ndarray:
+    """Region group ids per window token, [nLon, nW, N]; longitude halves
+    merged (reference `utils/shift_window_mask.py:40-73`).
+
+    Only this SMALL array becomes a baked program constant; the dense
+    [nLon, nW, N, N] mask is built on device (see `shift_window_mask`)."""
     Pl, Lat, Lon = pad_resolution
     wpl, wlat, wlon = window_size
     spl, slat, slon = shift_size
@@ -108,9 +111,15 @@ def shift_window_mask(pad_resolution, window_size, shift_size) -> np.ndarray:
     img = img[:, :, :, :Lon, :]
     # numpy window partition
     x = img.reshape(1, Pl // wpl, wpl, Lat // wlat, wlat, Lon // wlon, wlon, 1)
-    x = x.transpose(0, 5, 1, 3, 2, 4, 6, 7).reshape(
+    return x.transpose(0, 5, 1, 3, 2, 4, 6, 7).reshape(
         Lon // wlon, (Pl // wpl) * (Lat // wlat), wpl * wlat * wlon
-    )
+    ).astype(np.float32)
+
+
+def shift_window_mask(pad_resolution, window_size, shift_size) -> np.ndarray:
+    """[nLon, nPl*nLat, N, N] of {0, -100} (numpy oracle; models build the
+    same mask on device from `shift_window_groups_3d`)."""
+    x = shift_window_groups_3d(pad_resolution, window_size, shift_size)
     diff = x[:, :, None, :] - x[:, :, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
@@ -260,10 +269,17 @@ class EarthSpecificBlock(nn.Module):
             spl, slat, slon = shift_size
             fwd_lon = slat if self.reference_roll_quirk else slon
             x = jnp.roll(x, (-spl, -slat, -fwd_lon), axis=(1, 2, 3))
-            # cast to the compute dtype: a f32 mask would silently promote
-            # the whole attention (and the scan carry) to f32 under bf16
-            mask = jnp.asarray(
-                shift_window_mask(pad_res, win, shift_size), dtype=x.dtype
+            # Bake only the [nLon, nW, N] group ids; build the dense
+            # [nLon, nW, N, N] mask on device, in the compute dtype (a f32
+            # mask would silently promote the attention, and the scan
+            # carry, to f32 under bf16).
+            groups = jnp.asarray(
+                shift_window_groups_3d(pad_res, win, shift_size)
+            )
+            mask = jnp.where(
+                groups[:, :, None, :] != groups[:, :, :, None],
+                jnp.asarray(-100.0, x.dtype),
+                jnp.asarray(0.0, x.dtype),
             )
         else:
             mask = None

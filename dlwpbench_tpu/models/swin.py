@@ -70,15 +70,26 @@ def relative_position_index(wh: int, ww: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def shift_attn_mask(Hp: int, Wp: int, wh: int, ww: int, sh: int, sw: int) -> np.ndarray:
-    """Shifted-window attention mask [nW, N, N] of {0, -100} (`:380-401`)."""
+def shift_window_groups(Hp: int, Wp: int, wh: int, ww: int, sh: int, sw: int) -> np.ndarray:
+    """9-region group id per window token, [nW, N] (`:380-401`).
+
+    Kept separate from the dense mask so only this SMALL array is baked
+    into the compiled program as a constant; the [nW, N, N] mask itself is
+    built on device (at N = 12288, a baked fp32 mask is ~600 MB of program
+    payload — over the compile-relay request limit)."""
     img = np.zeros((Hp, Wp))
     cnt = 0
     for hs in (slice(0, -wh), slice(-wh, -sh if sh else None), slice(-sh, None) if sh else slice(0, 0)):
         for ws in (slice(0, -ww), slice(-ww, -sw if sw else None), slice(-sw, None) if sw else slice(0, 0)):
             img[hs, ws] = cnt
             cnt += 1
-    win = img.reshape(Hp // wh, wh, Wp // ww, ww).transpose(0, 2, 1, 3).reshape(-1, wh * ww)
+    win = img.reshape(Hp // wh, wh, Wp // ww, ww).transpose(0, 2, 1, 3)
+    return win.reshape(-1, wh * ww).astype(np.float32)
+
+
+def shift_attn_mask(Hp: int, Wp: int, wh: int, ww: int, sh: int, sw: int) -> np.ndarray:
+    """Shifted-window attention mask [nW, N, N] of {0, -100} (`:380-401`)."""
+    win = shift_window_groups(Hp, Wp, wh, ww, sh, sw)
     diff = win[:, None, :] - win[:, :, None]
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
@@ -317,11 +328,18 @@ class SwinTransformer(RolloutModel):
                 )
                 sh, sw = (0, 0) if d % 2 == 0 else st["shift"]
                 if sh or sw:
-                    # cast to the bias dtype so a f32 mask can't promote the
-                    # attention (and the scan carry) to f32 under bf16
-                    mask = jnp.asarray(
-                        shift_attn_mask(st["Hp"], st["Wp"], wh, ww, sh, sw),
-                        dtype=rel.dtype,
+                    # Only the [nW, N] group ids are baked as a constant;
+                    # the dense [nW, N, N] mask is built ON DEVICE (a baked
+                    # mask is ~600 MB at N=12288 -> relay HTTP 413).  Mask
+                    # in the bias dtype so a f32 mask can't promote the
+                    # attention (and the scan carry) to f32 under bf16.
+                    groups = jnp.asarray(
+                        shift_window_groups(st["Hp"], st["Wp"], wh, ww, sh, sw)
+                    )
+                    mask = jnp.where(
+                        groups[:, None, :] != groups[:, :, None],
+                        jnp.asarray(-100.0, rel.dtype),
+                        jnp.asarray(0.0, rel.dtype),
                     )
                     aux[f"{i}_{d}"] = rel[None] + mask[:, None]  # [nW,nh,N,N]
                 else:
