@@ -337,25 +337,14 @@ def _bwd_dkv_kernel(
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _flash_diff(q, k, v, bias, block_q, block_k, interpret):
-    out, _ = _flash_impl(
-        q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret
-    )
-    return out
-
-
-def _flash_fwd(q, k, v, bias, block_q, block_k, interpret):
-    out, lse = _flash_impl(
-        q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret
-    )
-    return out, (q, k, v, bias, out, lse)
-
-
-def _flash_bwd(block_q, block_k, interpret, res, g):
+def _flash_bwd_impl(block_q, block_k, interpret, res, do, g_lse=None):
     """Fused flash backward: streaming Pallas passes (dQ [+dBias], dK+dV,
     and a dBias member-sum pass for grouped bias) — the [N, N] score matrix
-    never touches HBM in the backward either, and no operand is padded."""
+    never touches HBM in the backward either, and no operand is padded.
+
+    `g_lse` is the optional cotangent of the log-sum-exp output: since
+    d(lse_i)/d(s_ij) = p_ij, it folds into the same kernels as
+    ds = p * (dp - (drow - g_lse)) — one subtraction, no new kernel."""
     q, k, v, bias, out, lse = res
     if not interpret and jax.default_backend() not in ("tpu", "axon"):
         interpret = True
@@ -370,10 +359,11 @@ def _flash_bwd(block_q, block_k, interpret, res, g):
     bias4 = bias[None] if bias_was_3d else bias
     G = bias4.shape[0]
 
-    do = g
     drow = jnp.sum(
         do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
     )  # [B, H, N, 1]
+    if g_lse is not None:
+        drow = drow - g_lse.astype(jnp.float32)
 
     qd = lambda b, h, i, j: (b, h, i, 0)    # q/dO/lse/drow blocks (row i)
     kd = lambda b, h, i, j: (b, h, j, 0)    # k/v blocks (col j)
@@ -492,7 +482,70 @@ def _flash_bwd(block_q, block_k, interpret, res, g):
     return dq, dk, dv, dbias
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_diff(q, k, v, bias, block_q, block_k, interpret):
+    out, _ = _flash_impl(
+        q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret
+    )
+    return out
+
+
+def _flash_fwd(q, k, v, bias, block_q, block_k, interpret):
+    out, lse = _flash_impl(
+        q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret
+    )
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_bwd(block_q, block_k, interpret, res, g):
+    return _flash_bwd_impl(block_q, block_k, interpret, res, g)
+
+
 _flash_diff.defvjp(_flash_fwd, _flash_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash_lse_diff(q, k, v, bias, block_q, block_k, interpret):
+    return _flash_impl(
+        q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret
+    )
+
+
+def _flash_lse_fwd(q, k, v, bias, block_q, block_k, interpret):
+    out, lse = _flash_impl(
+        q, k, v, bias, block_q=block_q, block_k=block_k, interpret=interpret
+    )
+    return (out, lse), (q, k, v, bias, out, lse)
+
+
+def _flash_lse_bwd(block_q, block_k, interpret, res, g):
+    g_out, g_lse = g
+    return _flash_bwd_impl(block_q, block_k, interpret, res, g_out, g_lse)
+
+
+_flash_lse_diff.defvjp(_flash_lse_fwd, _flash_lse_bwd)
+
+
+def flash_window_attention_lse(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    block_q: int = 256,
+    block_k: int = 256,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """`flash_window_attention` that also returns the per-row log-sum-exp
+    [B, H, N, 1] — DIFFERENTIABLY (dlse/ds = softmax folds into the same
+    backward kernels).  This is the partial-softmax primitive ring/context-
+    parallel attention needs: two chunks' (out, lse) merge exactly as
+
+        lse = logaddexp(lse1, lse2)
+        out = out1 * exp(lse1 - lse) + out2 * exp(lse2 - lse)
+
+    and the merge is plain differentiable jnp (`parallel/ring_attention.py`).
+    """
+    return _flash_lse_diff(q, k, v, bias, block_q, block_k, interpret)
 
 
 # ---------------------------------------------------------------------------

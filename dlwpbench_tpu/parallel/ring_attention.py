@@ -1,0 +1,135 @@
+"""Ring (context-parallel) window attention over a device mesh.
+
+The reference has no context parallelism (SURVEY §2.7: CP/ring absent) —
+its global-window attention models (Swin `swin_transformer.py:561`
+window = resolution; Pangu 3D windows) are single-device.  On TPU the
+sequence axis is the natural scaling axis for those models: at 2.0 degrees
+a global window is N = 16200 tokens and the per-head relative-position
+bias alone is ~1 GB, so one chip runs out of HBM long before compute.
+
+This module shards the window's token axis across a mesh axis and runs the
+classic ring-attention schedule (Liu et al. 2023, "Ring Attention with
+Blockwise Transformers"):
+
+- every device holds a q-row chunk, a kv chunk, and the bias ROWS for its
+  queries ([G, H, N/P, N] — the only O(N^2) operand, now /P per device);
+- P steps: attend q_local x kv_chunk with the fused flash kernel
+  (`ops/pallas_attention.py`), merge the partial softmax via log-sum-exp,
+  then rotate kv around the ring with `ppermute` (ICI neighbor traffic,
+  overlapped by XLA with the next chunk's compute).
+
+The merge identity: chunks' partial (out_c, lse_c) combine exactly as
+    lse = logaddexp(lse_1, lse_2)
+    out = out_1 * exp(lse_1 - lse) + out_2 * exp(lse_2 - lse)
+which is plain differentiable jnp — gradients flow through the chunk
+kernels' custom VJP (`flash_window_attention_lse` exposes d(lse) at the
+cost of one subtraction), the slice adjoint, and ppermute's inverse
+rotation.  No hand-written backward needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dlwpbench_tpu.ops.pallas_attention import flash_window_attention_lse
+
+NEG_BIG = -1e30
+
+
+def ring_window_attention(
+    q_local: jax.Array,
+    k_local: jax.Array,
+    v_local: jax.Array,
+    bias_local: jax.Array,
+    axis_name: str,
+    interpret: bool = False,
+) -> jax.Array:
+    """Inside `shard_map`: sequence-sharded ring attention.
+
+    q/k/v_local: [B, H, N/P, D] — token rows of this shard.
+    bias_local:  [G, H, N/P, N] — bias rows for this shard's queries, ALL
+                 key columns (group selected as b % G, as in the kernel).
+    Returns out_local [B, H, N/P, D].
+    """
+    p = lax.axis_size(axis_name)
+    idx = lax.axis_index(axis_name)
+    B, H, Nl, D = q_local.shape
+    assert bias_local.shape[-1] == Nl * p, (bias_local.shape, Nl, p)
+
+    out = jnp.zeros((B, H, Nl, D), jnp.float32)
+    lse = jnp.full((B, H, Nl, 1), NEG_BIG, jnp.float32)
+    kc, vc = k_local, v_local
+    ring = [(i, (i + 1) % p) for i in range(p)]
+
+    for r in range(p):
+        # the kv chunk now held originated at rank (idx - r) % p: select the
+        # matching global bias columns for these keys
+        src = lax.rem(idx - r + p, p)
+        bcols = lax.dynamic_slice_in_dim(bias_local, src * Nl, Nl, axis=-1)
+        o_c, lse_c = flash_window_attention_lse(
+            q_local, kc, vc, bcols, interpret=interpret
+        )
+        lse_new = jnp.logaddexp(lse, lse_c)
+        out = out * jnp.exp(lse - lse_new) + o_c.astype(jnp.float32) * jnp.exp(
+            lse_c - lse_new
+        )
+        lse = lse_new
+        if r < p - 1:  # last chunk needs no further rotation
+            kc = lax.ppermute(kc, axis_name, ring)
+            vc = lax.ppermute(vc, axis_name, ring)
+    return out.astype(q_local.dtype)
+
+
+def ring_attention_sharded(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    bias: jax.Array,
+    mesh: Mesh,
+    axis: str = "x",
+    interpret: bool = False,
+) -> jax.Array:
+    """Global-array entry point: shards the token axis of q/k/v and the
+    QUERY-row axis of bias over `axis`, runs the ring, and returns the
+    full-sequence output with the same sharding as q.
+
+    q, k, v: [B, H, N, D]; bias [H, N, N] or [G, H, N, N]; N % P == 0.
+    """
+    if bias.ndim == 3:
+        bias = bias[None]
+    p = mesh.shape[axis]
+    N = q.shape[2]
+    assert N % p == 0, f"token count {N} must divide the '{axis}' axis ({p})"
+
+    fn = functools.partial(
+        ring_window_attention, axis_name=axis, interpret=interpret
+    )
+    seq = P(None, None, axis, None)
+    out = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(seq, seq, seq, P(None, None, axis, None)),
+        out_specs=seq,
+        check_vma=False,
+    )(q, k, v, bias)
+    return out
+
+
+def shard_ring_operands(q, k, v, bias, mesh, axis="x"):
+    """Device-put the ring operands with their ring shardings (helper for
+    benchmarks/drivers; `ring_attention_sharded` works on any layout but
+    pre-sharding avoids a resharding pass on the first call)."""
+    seq = NamedSharding(mesh, P(None, None, axis, None))
+    if bias.ndim == 3:
+        bias = bias[None]
+    return (
+        jax.device_put(q, seq),
+        jax.device_put(k, seq),
+        jax.device_put(v, seq),
+        jax.device_put(bias, NamedSharding(mesh, P(None, None, axis, None))),
+    )
