@@ -113,6 +113,10 @@ class WindowAttention(nn.Module):
     # small windows on TPU, einsum otherwise; True/False force flash/einsum;
     # "packed" forces the packed small-window kernel.
     use_flash: Optional[Any] = None
+    # jax Mesh: sequence-shard the window tokens over `dist_axis` and run
+    # ring (context-parallel) attention (parallel/ring_attention.py).
+    spmd_mesh: Any = None
+    dist_axis: str = "x"
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: jax.Array):
@@ -142,11 +146,26 @@ class WindowAttention(nn.Module):
             out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
             return nn.Dense(C, kernel_init=trunc_normal_init())(out)
 
+        if self.spmd_mesh is not None and hd % 8 == 0 and (
+            N % self.spmd_mesh.shape[self.dist_axis] == 0
+        ):
+            # context-parallel: tokens sequence-sharded over the mesh axis,
+            # kv chunks rotating via ppermute, lse-merged partial softmax
+            from dlwpbench_tpu.parallel.ring_attention import (
+                ring_attention_sharded,
+            )
+
+            out = ring_attention_sharded(
+                q, k, v, bias, self.spmd_mesh, axis=self.dist_axis
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+            return nn.Dense(C, kernel_init=trunc_normal_init())(out)
+
         flash = self.use_flash is True or (
             self.use_flash is None and N >= 1024
         )
         if flash and hd % 8 == 0:
-            # the wrapper handles any N (pads non-128-multiples internally)
+            # the kernels stream cdiv blocks; any N works (tails iota-masked)
             from dlwpbench_tpu.ops.pallas_attention import flash_window_attention
 
             out = flash_window_attention(q, k, v, bias)
@@ -188,6 +207,8 @@ class SwinBlock(nn.Module):
     mesh: str = "equirectangular"
     use_flash: Optional[Any] = None
     exact_gelu: bool = False
+    spmd_mesh: Any = None
+    dist_axis: str = "x"
 
     @nn.compact
     def __call__(self, x: jax.Array, H: int, W: int, bias: jax.Array):
@@ -216,7 +237,8 @@ class SwinBlock(nn.Module):
         win = window_partition(x, wh, ww)
         win = WindowAttention(
             self.dim, (wh, ww), self.num_heads, self.qkv_bias,
-            use_flash=self.use_flash,
+            use_flash=self.use_flash, spmd_mesh=self.spmd_mesh,
+            dist_axis=self.dist_axis,
         )(win, bias)
         x = window_reverse(win, wh, ww, Hp, Wp)
 
@@ -278,6 +300,10 @@ class SwinTransformer(RolloutModel):
     use_flash_attention: Optional[Any] = None
     # False = fast tanh-approx GELU; True = torch-exact erf GELU (parity)
     exact_gelu: bool = False
+    # jax Mesh: run every attention ring/context-parallel over `dist_axis`
+    # (sequence-sharded tokens; the O(N^2) bias sharded by query rows).
+    spmd_mesh: Any = None
+    dist_axis: str = "x"
 
     def _grid_hw(self) -> tuple[int, int]:
         if self.mesh == "healpix":
@@ -396,6 +422,8 @@ class SwinTransformer(RolloutModel):
                     mesh=self.mesh,
                     use_flash=self.use_flash_attention,
                     exact_gelu=self.exact_gelu,
+                    spmd_mesh=self.spmd_mesh,
+                    dist_axis=self.dist_axis,
                 )(x, H, W, aux[f"{i}_{d}"])
             x_out = nn.LayerNorm(epsilon=1e-5)(x)
             feats.append(x_out.reshape(B, H, W, dim))

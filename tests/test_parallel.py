@@ -586,3 +586,29 @@ class TestRingAttention:
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
                 err_msg=f"d{name}",
             )
+
+    def test_swin_model_ring_matches_single_device(self):
+        """SwinTransformer(spmd_mesh=...) routes every window attention
+        through the ring; the full rollout must equal the single-device
+        model with the same params."""
+        from dlwpbench_tpu.models.swin import SwinTransformer
+
+        mesh = _mesh_x(4)
+        kw = dict(
+            img_height=16, img_width=32, patch_size=1,
+            constant_channels=0, prescribed_channels=0,
+            prognostic_channels=2, embed_dim=16, depths=(2,),
+            num_heads=(2,), context_size=1,
+        )
+        single = SwinTransformer(**kw)
+        ring = SwinTransformer(spmd_mesh=mesh, dist_axis="x", **kw)
+        prog = jnp.asarray(
+            np.random.default_rng(3).standard_normal((1, 3, 2, 16, 32)),
+            jnp.float32,
+        )
+        params = single.init(jax.random.PRNGKey(0), None, None, prog)
+        want = single.apply(params, None, None, prog)
+        got = ring.apply(params, None, None, prog)  # same param tree
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+        )
