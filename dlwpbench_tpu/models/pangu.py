@@ -147,6 +147,10 @@ class EarthAttention3D(nn.Module):
     # windows, einsum otherwise.  True/False force flash/einsum; "packed"
     # forces the packed small-window kernel.
     use_flash: Optional[Any] = None
+    # jax Mesh: sequence-shard window tokens over `dist_axis` and run ring
+    # (context-parallel) attention on the flash-sized windows.
+    spmd_mesh: Any = None
+    dist_axis: str = "x"
 
     @nn.compact
     def __call__(
@@ -206,7 +210,18 @@ class EarthAttention3D(nn.Module):
                 nLon = mask.shape[0]
                 gb = gb[None] + mask[:, :, None]  # [nLon, nW, nh, N, N]
                 gb = gb.reshape(nLon * nW, nh, N, N)
-            out = flash_window_attention(q, k, v, gb)
+            if self.spmd_mesh is not None and (
+                N % self.spmd_mesh.shape[self.dist_axis] == 0
+            ):
+                from dlwpbench_tpu.parallel.ring_attention import (
+                    ring_attention_sharded,
+                )
+
+                out = ring_attention_sharded(
+                    q, k, v, gb, self.spmd_mesh, axis=self.dist_axis
+                )
+            else:
+                out = flash_window_attention(q, k, v, gb)
             out = out.reshape(B_, nW, nh, N, hd).transpose(0, 2, 1, 3, 4)
         else:
             q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [B_, nh, nW, N, hd]
@@ -247,6 +262,8 @@ class EarthSpecificBlock(nn.Module):
     reference_roll_quirk: bool = False
     use_flash: Optional[Any] = None
     exact_gelu: bool = False
+    spmd_mesh: Any = None
+    dist_axis: str = "x"
 
     @nn.compact
     def __call__(self, x: jax.Array, bias: jax.Array):
@@ -286,7 +303,8 @@ class EarthSpecificBlock(nn.Module):
 
         wins = window_partition_3d(x, win)
         wins = EarthAttention3D(
-            self.dim, pad_res, win, self.num_heads, use_flash=self.use_flash
+            self.dim, pad_res, win, self.num_heads, use_flash=self.use_flash,
+            spmd_mesh=self.spmd_mesh, dist_axis=self.dist_axis,
         )(wins, bias, mask)
         wins = wins.reshape(wins.shape[0], wins.shape[1], *win, C)
         x = window_reverse_3d(
@@ -390,6 +408,9 @@ class PanguWeather(RolloutModel):
     use_flash_attention: Optional[Any] = None
     # False = fast tanh-approx GELU; True = torch-exact erf GELU (parity)
     exact_gelu: bool = False
+    # jax Mesh: ring/context-parallel attention on flash-sized windows
+    spmd_mesh: Any = None
+    dist_axis: str = "x"
 
     def _block_plan(self):
         """Static per-block geometry for the 2-6-6-2 layer plan."""
@@ -473,6 +494,7 @@ class PanguWeather(RolloutModel):
                     reference_roll_quirk=self.reference_roll_quirk,
                     use_flash=self.use_flash_attention,
                     exact_gelu=self.exact_gelu,
+                    spmd_mesh=self.spmd_mesh, dist_axis=self.dist_axis,
                 )(x, aux[block_idx[0]])
                 block_idx[0] += 1
             return x

@@ -612,3 +612,30 @@ class TestRingAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
         )
+
+    def test_pangu_model_ring_matches_single_device(self):
+        """PanguWeather(spmd_mesh=..., use_flash_attention=True): the 3D
+        earth-window attentions (incl. shifted blocks' grouped lon masks)
+        run through the ring and match the single-device rollout."""
+        from dlwpbench_tpu.models.pangu import PanguWeather
+
+        mesh = _mesh_x(4)
+        kw = dict(
+            constant_channels=0, prescribed_channels=0,
+            prognostic_channels=2, embed_dim=32,
+            num_heads=(2, 4, 4, 2), window_size=(2, 6, 12),
+            patch_size=(1, 1), n_lat=12, n_lon=24, context_size=1,
+            use_flash_attention=True,
+        )
+        single = PanguWeather(**kw)
+        ring = PanguWeather(spmd_mesh=mesh, dist_axis="x", **kw)
+        prog = jnp.asarray(
+            np.random.default_rng(4).standard_normal((1, 2, 2, 12, 24)),
+            jnp.float32,
+        )
+        params = single.init(jax.random.PRNGKey(0), None, None, prog)
+        want = single.apply(params, None, None, prog)
+        got = ring.apply(params, None, None, prog)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+        )
