@@ -72,8 +72,22 @@ class Trainer:
         min_noise_std: float = 4e-4,
         ema_decay: float = 0.995,
         compute_dtype: str | None = None,
+        spmd_mesh: Any = None,
+        batch_axis: str = "data",
     ):
         self.model = model
+        # Data parallelism (the reference's DistributedManager/DDP role,
+        # `manager.py:29-34`): batches shard over `batch_axis`, params and
+        # optimizer state replicate; XLA inserts the gradient all-reduce.
+        self._batch_sharding = None
+        self._replicated = None
+        if spmd_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._batch_sharding = NamedSharding(
+                spmd_mesh, PartitionSpec(batch_axis)
+            )
+            self._replicated = NamedSharding(spmd_mesh, PartitionSpec())
         self.base_lr = learning_rate
         self.epochs = epochs
         self.clip_gradients = clip_gradients
@@ -116,6 +130,10 @@ class Trainer:
             if self.training_type == "diffusion"
             else None
         )
+        if self._replicated is not None:
+            params = jax.device_put(params, self._replicated)
+            if ema is not None:
+                ema = jax.device_put(ema, self._replicated)
         return TrainState(
             params=params, opt_state=self.tx.init(params), ema_params=ema
         )
@@ -246,7 +264,8 @@ class Trainer:
         lr = float(cosine_lr(state.epoch, self.base_lr, self.epochs))
         losses = []
         for batch in _prefetch_to_device(
-            dataset.batches(batch_size, shuffle=shuffle)
+            dataset.batches(batch_size, shuffle=shuffle),
+            sharding=self._batch_sharding,
         ):
             const, pres, prog, target = batch
             self._rng, sub = jax.random.split(self._rng)
@@ -270,7 +289,9 @@ class Trainer:
         tot, n = 0.0, 0
         per_lead = []
         for batch in dataset.batches(batch_size):
-            const, pres, prog, target = (_j(x) for x in batch)
+            const, pres, prog, target = (
+                _j(x, self._batch_sharding) for x in batch
+            )
             loss, plc = self._val_step(state.params, const, pres, prog, target)
             bs = prog.shape[0]
             tot += float(loss) * bs
@@ -337,20 +358,36 @@ class Trainer:
         return state
 
 
-def _j(x):
-    return None if x is None else jnp.asarray(x)
+def _j(x, sharding=None):
+    if x is None:
+        return None
+    x = jnp.asarray(x)
+    if sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        axis = sharding.spec[0] if sharding.spec else None
+        n = sharding.mesh.shape[axis] if axis else 1
+        if x.ndim and x.shape[0] % n == 0:
+            return jax.device_put(x, sharding)
+        # remainder batch (reference keeps remainders, train.py:179-183):
+        # place replicated; GSPMD still runs the step correctly
+        return jax.device_put(
+            x, NamedSharding(sharding.mesh, PartitionSpec())
+        )
+    return x
 
 
-def _prefetch_to_device(batch_iter, depth: int = 2):
+def _prefetch_to_device(batch_iter, depth: int = 2, sharding=None):
     """Async host->device input pipeline: keep `depth` batches in flight
     (jax device transfers are async, so staging the NEXT batch while the
     current train step runs hides the transfer — the TPU analog of the
-    reference's DataLoader worker prefetch, `train.py:148-160`)."""
+    reference's DataLoader worker prefetch, `train.py:148-160`).  With a
+    `sharding`, batches land sharded over the data axis (DP)."""
     import collections
 
     queue = collections.deque()
     for batch in batch_iter:
-        queue.append(tuple(_j(x) for x in batch))
+        queue.append(tuple(_j(x, sharding) for x in batch))
         if len(queue) >= depth:
             yield queue.popleft()
     while queue:

@@ -202,3 +202,39 @@ class TestMixedPrecision:
             jnp.float32(1e-3), __import__("jax").random.PRNGKey(0),
         )
         assert np.isfinite(float(loss))
+
+
+class TestDataParallelTrainer:
+    def test_dp_losses_match_single_device(self):
+        """Trainer(spmd_mesh=...) shards batches over the data axis and
+        replicates params; per-epoch losses must match the single-device
+        trainer bit-for-bit-ish (same batches, same seed)."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs multi-device CPU mesh")
+        from dlwpbench_tpu.models.unet import UNet
+        from dlwpbench_tpu.parallel.mesh import make_mesh
+        from dlwpbench_tpu.training.trainer import Trainer
+
+        ds = _make_ds()
+        kw = dict(
+            constant_channels=0, prescribed_channels=0,
+            prognostic_channels=2, hidden_channels=(4, 8), context_size=1,
+        )
+        losses = {}
+        for name, mesh in (
+            ("single", None),
+            ("dp", make_mesh(4, data=4, x=1)),
+        ):
+            model = UNet(**kw)
+            tr = Trainer(model, learning_rate=1e-3, epochs=2, seed=7,
+                         spmd_mesh=mesh)
+            batch = next(iter(ds.batches(4)))
+            state = tr.init(batch)
+            ls = [tr.train_epoch(state, ds, batch_size=4, shuffle=False)
+                  for _ in range(2)]
+            losses[name] = ls
+        np.testing.assert_allclose(
+            losses["dp"], losses["single"], rtol=1e-5, atol=1e-6
+        )
