@@ -16,6 +16,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def _make_dp_mesh(n: int):
+    """`training.data_parallel: N` -> an N-device data mesh (0/1 = off).
+
+    The CLI face of `Trainer(spmd_mesh=...)`: batches shard over the
+    "data" axis, params replicate, XLA all-reduces gradients."""
+    if not n or n <= 1:
+        return None
+    from dlwpbench_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(n, data=n, x=1)
+
+
 def main(argv):
     import dlwpbench_tpu
 
@@ -74,6 +86,7 @@ def main(argv):
         min_noise_std=float(cfg.training.get("min_noise_std", 4e-4)),
         ema_decay=float(cfg.training.get("ema_decay", 0.995)),
         compute_dtype=cfg.training.get("compute_dtype"),
+        spmd_mesh=_make_dp_mesh(int(cfg.training.get("data_parallel", 0))),
     )
 
     first = next(iter(train_ds.batches(1)))

@@ -368,6 +368,50 @@ class TestTrainCLIOnFixture:
             "verbose=false",
         ])
         assert os.path.exists(os.path.join(run_dir, "checkpoints", "unet_last.ckpt"))
+
+    def test_train_cli_data_parallel(self, tmp_path):
+        """`training.data_parallel=4` shards batches over a 4-device data
+        mesh through the same CLI path."""
+        import sys
+
+        import jax
+
+        if len(jax.devices()) < 4:
+            import pytest
+
+            pytest.skip("needs multi-device CPU mesh")
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+        import importlib
+
+        train = importlib.import_module("train")
+        run_dir = str(tmp_path / "run_dp")
+        train.main([
+            "model=unet",
+            "data=weatherbench",
+            f"data.data_path={FIXTURE}",
+            "data.train_start_date=1979-01-01",
+            "data.train_stop_date=1979-01-07",
+            "data.val_start_date=1979-01-08",
+            "data.val_stop_date=1979-01-10",
+            "data.test_start_date=1980-01-01",
+            "data.test_stop_date=1980-01-08",
+            "data.timedelta=1",
+            "data.height=8",
+            "data.width=16",
+            "data.prognostic_variable_names_and_levels={msl: [], stream250: [], z: [300, 500]}",
+            "data.prognostic_channels=4",
+            "model.hidden_channels=[6]",
+            "training.epochs=1",
+            "training.batch_size=4",
+            "training.data_parallel=4",
+            "training.sequence_length=4",
+            "validation.sequence_length=4",
+            "validation.batch_size=4",
+            f"run_dir={run_dir}",
+            "verbose=false",
+        ])
+        assert os.path.exists(os.path.join(run_dir, "checkpoints", "unet_last.ckpt"))
+
         assert os.path.exists(os.path.join(run_dir, "config.yaml"))
 
 
