@@ -68,7 +68,20 @@ def model_families(H, W, C_act, seq):
         boundary = 2.0 * math.sqrt(V * P)
         return seq * 2 * 16 * boundary * D * 4
 
-    return {"unet": unet, "sfno2d": sfno, "graphcast": graphcast}
+    def swin_ring(P):
+        # ring (context-parallel) attention (parallel/ring_attention.py):
+        # per attention call each chip sends its k+v chunk (P-1) times
+        # (ppermute rotations); the backward's ppermute adjoints mirror
+        # every rotation -> 2x.  8 attention blocks (depths 4+4), global
+        # window N = H*W, head count folded into C_act.
+        N = H * W
+        per_call = 2 * B * N / max(P, 1) * C_act * 4  # k+v chunk bytes
+        return seq * 2 * 8 * per_call * (P - 1)
+
+    return {
+        "unet": unet, "sfno2d": sfno, "graphcast": graphcast,
+        "swin_ring": swin_ring,
+    }
 
 
 def main(argv=None):
@@ -82,8 +95,11 @@ def main(argv=None):
 
     # measured single-chip step times at the 8M rung (mid-ladder, 32x64)
     measured = {}
-    for fam in ("unet", "sfno2d", "graphcast"):
-        e = ladder.get(f"{fam}@8m@32x64")
+    for fam, key in (
+        ("unet", "unet"), ("sfno2d", "sfno2d"),
+        ("graphcast", "graphcast"), ("swin_ring", "swin"),
+    ):
+        e = ladder.get(f"{key}@8m@32x64")
         if e and "step_s" in e:
             measured[fam] = e["step_s"]
 
@@ -98,7 +114,14 @@ def main(argv=None):
             for fam, comm_bytes in fams.items():
                 if fam not in measured:
                     continue
-                t1 = measured[fam] * area_ratio * scale_t
+                if fam == "swin_ring":
+                    # global-window attention is O(N^2): scale the (assumed
+                    # ~50/50 at 32x64) attention/mlp split super/linearly
+                    t1 = measured[fam] * scale_t * (
+                        0.5 * area_ratio**2 + 0.5 * area_ratio
+                    )
+                else:
+                    t1 = measured[fam] * area_ratio * scale_t
                 rows = {}
                 for P in (1, 2, 4, 8, 16, 32, 64):
                     t_comp = t1 / P
