@@ -304,6 +304,12 @@ class SwinTransformer(RolloutModel):
     # (sequence-sharded tokens; the O(N^2) bias sharded by query rows).
     spmd_mesh: Any = None
     dist_axis: str = "x"
+    # None = the reference's GLOBAL windows (window = stage resolution,
+    # `swin_transformer.py:561`).  (wh, ww) = fixed local windows — an
+    # extension the reference lacks but high resolutions need: at 2.0
+    # degrees a global window is N=16200 tokens with O(N^2) bias/scores,
+    # while (8, 8) windows keep N=64 and route through the packed kernel.
+    window_size: Optional[Sequence[int]] = None
 
     def _grid_hw(self) -> tuple[int, int]:
         if self.mesh == "healpix":
@@ -320,12 +326,17 @@ class SwinTransformer(RolloutModel):
         res_h, res_w = H, W
         plan = []
         for i in range(len(self.depths)):
-            wh, ww = res_h, res_w
+            if self.window_size is not None:
+                # fixed local windows, clamped to the stage resolution
+                wh = min(int(self.window_size[0]), res_h)
+                ww = min(int(self.window_size[1]), res_w)
+            else:
+                wh, ww = res_h, res_w
             pad_b = (wh - H % wh) % wh
             pad_r = (ww - W % ww) % ww
             plan.append(
                 dict(H=H, W=W, Hp=H + pad_b, Wp=W + pad_r, wh=wh, ww=ww,
-                     shift=(res_h // 2, res_w // 2))
+                     shift=(wh // 2, ww // 2))
             )
             if i < len(self.depths) - 1:
                 H, W = (H + 1) // 2, (W + 1) // 2

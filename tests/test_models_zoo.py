@@ -556,3 +556,77 @@ class TestDISTANA:
                          "constant_channels": 0, "prescribed_channels": 0,
                          "hidden_size": 8, "layers": 2})
         assert m.hidden_size == 8
+
+
+class TestWindowedSwin:
+    """`window_size=(wh,ww)` — fixed local windows (extension; the
+    reference hardcodes window=resolution, swin_transformer.py:561) for
+    resolutions where a global window is infeasible."""
+
+    def test_windowed_swin_rollout(self):
+        from dlwpbench_tpu.models.swin import SwinTransformer
+
+        _run(
+            SwinTransformer(
+                img_height=16,
+                img_width=32,
+                patch_size=1,
+                constant_channels=2,
+                prescribed_channels=1,
+                prognostic_channels=2,
+                embed_dim=16,
+                depths=(2, 2),
+                num_heads=(2, 2),
+                window_size=(8, 8),
+            )
+        )
+
+    def test_windowed_equals_global_when_window_covers_grid(self):
+        """window_size >= resolution must clamp to exactly the reference's
+        global-window behavior (same params, same outputs)."""
+        import jax
+
+        from dlwpbench_tpu.models.swin import SwinTransformer
+
+        kw = dict(img_height=8, img_width=16, patch_size=1,
+                  constant_channels=0, prescribed_channels=0,
+                  prognostic_channels=2, embed_dim=16, depths=(2,),
+                  num_heads=(2,), context_size=1)
+        ref = SwinTransformer(**kw)
+        win = SwinTransformer(window_size=(64, 64), **kw)
+        prog = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 3, 2, 8, 16)),
+            jnp.float32)
+        params = ref.init(jax.random.PRNGKey(0), None, None, prog)
+        a = ref.apply(params, None, None, prog)
+        b = win.apply(params, None, None, prog)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    def test_shifted_window_information_flow(self):
+        """With local windows + shift, information must cross window
+        boundaries over the rollout (a point perturbation reaches a pixel
+        in a different window)."""
+        import jax
+
+        from dlwpbench_tpu.models.swin import SwinTransformer
+
+        m = SwinTransformer(img_height=8, img_width=16, patch_size=1,
+                            constant_channels=0, prescribed_channels=0,
+                            prognostic_channels=1, embed_dim=16,
+                            depths=(2,), num_heads=(2,), context_size=1,
+                            window_size=(4, 4))
+        prog = jnp.asarray(
+            np.random.default_rng(1).standard_normal((1, 3, 1, 8, 16)),
+            jnp.float32)
+        params = m.init(jax.random.PRNGKey(0), None, None, prog)
+        base = np.asarray(m.apply(params, None, None, prog))
+        pert = prog.at[0, 0, 0, 1, 1].add(2.0)   # window (0,0): cols 0-3
+        diff = np.abs(np.asarray(m.apply(params, None, None, pert)) - base)
+        # within the home window (unshifted block)
+        assert diff[0, 0, 0, 1, 2] > 1e-7
+        # cols 4-5 are OUTSIDE the home window; only the shifted block
+        # (windows offset by 2) connects them — cross-window flow works
+        assert diff[0, 0, 0, 1, 4] > 1e-9
+        # and the shift MASK blocks the wrap-around pair: cols 14/15 share
+        # a rolled window with cols 0/1 but must NOT receive information
+        assert diff[0, 0, 0, 1, 14] == 0.0 and diff[0, 0, 0, 1, 15] == 0.0
