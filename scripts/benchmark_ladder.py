@@ -57,6 +57,11 @@ FAMILY_RUNGS = {
     "convlstm_hpx": ("500k", "2m", "8m"),
     "modernunet_hpx": ("500k", "2m", "8m", "32m"),
     "swin_hpx": ("500k", "2m", "8m"),
+    # windowed-Swin extension (window_size=(8,8), packed kernel): the
+    # configuration that makes 2.0-degree/hpx32 Swin tractable — the
+    # reference's global windows are O(N^2) and stop at 5.625 degrees
+    "swin_win8": ("500k", "2m", "8m"),
+    "swin_hpx_win8": ("500k", "2m", "8m"),
 }
 
 WINDOWS_PER_EPOCH_2014 = 96  # (1460 - 15) // 15: one year, 6-hourly, seq 15
@@ -82,7 +87,7 @@ def build(family, width, H, W, Cc, Cp, Cq, nside=None):
         from dlwpbench_tpu.models.modern_unet import MUNetHPX
         return MUNetHPX(hidden_channels=(width, 2 * width, 4 * width),
                         norm=True, **kw)
-    if family == "swin_hpx":
+    if family in ("swin_hpx", "swin_hpx_win8"):
         from dlwpbench_tpu.models.swin import SwinTransformerHPX
         if width < 48:
             d = 8 * max(1, round(width / 8))
@@ -90,10 +95,12 @@ def build(family, width, H, W, Cc, Cp, Cq, nside=None):
         else:
             d = 24 * max(1, round(width / 24))
             heads = (3, 6)
+        win = (8, 8) if family == "swin_hpx_win8" else None
         return SwinTransformerHPX(img_height=nside, img_width=nside,
                                   embed_dim=d, depths=(4, 4),
-                                  num_heads=heads,
-                                  use_flash_attention=True, **kw)
+                                  num_heads=heads, window_size=win,
+                                  use_flash_attention=None if win else True,
+                                  **kw)
     if family == "modernunet":
         from dlwpbench_tpu.models.modern_unet import ModernUNet
         return ModernUNet(hidden_channels=(width, 2 * width, 4 * width),
@@ -113,7 +120,7 @@ def build(family, width, H, W, Cc, Cp, Cq, nside=None):
         from dlwpbench_tpu.models.sfno import SFNO2DModule
         d = 8 * max(1, round(width / 8))
         return SFNO2DModule(embed_dim=d, num_layers=4, height=H, width=W, **kw)
-    if family == "swin":
+    if family in ("swin", "swin_win8"):
         from dlwpbench_tpu.models.swin import SwinTransformer
         if width < 48:  # small rungs: fewer heads, finer embed quantization
             d = 8 * max(1, round(width / 8))
@@ -121,9 +128,12 @@ def build(family, width, H, W, Cc, Cp, Cq, nside=None):
         else:
             d = 24 * max(1, round(width / 24))  # heads (3,6), head_dim % 8 == 0
             heads = (3, 6)
+        win = (8, 8) if family == "swin_win8" else None
         return SwinTransformer(img_height=H, img_width=W, embed_dim=d,
                                depths=(4, 4), num_heads=heads,
-                               use_flash_attention=True, **kw)
+                               window_size=win,
+                               use_flash_attention=None if win else True,
+                               **kw)
     if family == "pangu":
         from dlwpbench_tpu.models.pangu import PanguWeather
         if width < 24:  # smallest rungs
