@@ -130,6 +130,13 @@ ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
     "silu": nn.silu,
     "sigmoid": nn.sigmoid,
     "identity": lambda x: x,
+    # Modulus activation-factory extras (reference GraphCast lineage,
+    # `models/graphcast/utils/activations.py:128-155`)
+    "stan": lambda x: jnp.tanh(x) * (x + 1.0),
+    "squareplus": lambda x: 0.5 * (x + jnp.sqrt(x * x + 4.0)),
+    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+    "elu": nn.elu,
+    "gelu_erf": lambda x: nn.gelu(x, approximate=False),
 }
 
 
@@ -139,8 +146,9 @@ def get_activation(name) -> Callable[[jax.Array], jax.Array]:
     key = str(name).lower()
     if key in ACTIVATIONS:  # exact name first ("gelu_exact" vs "gelu")
         return ACTIVATIONS[key]
-    # accept reference-style torch specs like "torch.nn.GELU()"
-    for k in ACTIVATIONS:
-        if k in key:
+    # accept reference-style torch specs like "torch.nn.GELU()"; try the
+    # most specific (longest) names first so "leakyrelu" != "relu"
+    for k in sorted(ACTIVATIONS, key=len, reverse=True):
+        if k in key or k.replace("_", "") in key.replace("_", ""):
             return ACTIVATIONS[k]
     raise ValueError(f"unknown activation {name!r}")

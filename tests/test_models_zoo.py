@@ -630,3 +630,23 @@ class TestWindowedSwin:
         # and the shift MASK blocks the wrap-around pair: cols 14/15 share
         # a rolled window with cols 0/1 but must NOT receive information
         assert diff[0, 0, 0, 1, 14] == 0.0 and diff[0, 0, 0, 1, 15] == 0.0
+
+
+class TestActivationFactory:
+    def test_modulus_extras_and_spec_routing(self):
+        """Reference activation factory extras (graphcast utils/activations
+        .py:128-155): Stan, SquarePlus, and torch-spec string routing with
+        longest-name-first matching (LeakyReLU must not hit relu)."""
+        from dlwpbench_tpu.ops.conv import get_activation
+
+        x = jnp.linspace(-3.0, 3.0, 7)
+        np.testing.assert_allclose(
+            np.asarray(get_activation("stan")(x)),
+            np.tanh(np.asarray(x)) * (np.asarray(x) + 1.0), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(get_activation("squareplus")(x)),
+            0.5 * (np.asarray(x) + np.sqrt(np.asarray(x) ** 2 + 4.0)),
+            rtol=1e-6)
+        lk = get_activation("torch.nn.LeakyReLU(0.05)")
+        assert float(lk(jnp.asarray(-1.0))) == pytest.approx(-0.01)
+        assert float(get_activation("torch.nn.ELU()")(jnp.asarray(1.0))) == 1.0
