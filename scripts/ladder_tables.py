@@ -55,6 +55,8 @@ LABEL = {
     "pangu": "Pangu-Weather", "fourcastnet": "FourCastNet p=1x1",
     "sfno2d": "SFNO", "fno2d": "FNO2D", "tfno2d": "TFNO2D",
     "mgn": "MeshGraphNet", "graphcast": "GraphCast",
+    # extensions (no reference GPU row): windowed Swin
+    "swin_win8": "SwinTransformer w8x8 (extension)",
 }
 
 
