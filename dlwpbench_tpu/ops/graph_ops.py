@@ -66,7 +66,8 @@ class MeshGraphMLP(nn.Module):
             x = self.activation(nn.Dense(self.hidden_dim)(x))
         x = nn.Dense(self.output_dim)(x)
         if self.norm:
-            x = nn.LayerNorm()(x)
+            # torch nn.LayerNorm eps (the reference default), not flax's 1e-6
+            x = nn.LayerNorm(epsilon=1e-5)(x)
         return x
 
 

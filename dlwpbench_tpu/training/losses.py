@@ -33,6 +33,21 @@ def mse_loss(
     return jnp.mean(d)
 
 
+def cell_area_weighted_loss(
+    prediction: jax.Array, target: jax.Array, area: jax.Array
+) -> jax.Array:
+    """Cell-area-weighted MSE (reference `models/graphcast/utils/loss.py:26-56`;
+    the Modulus GraphCast-lineage loss).
+
+    Squared error is first averaged over the leading (time, channel) axes,
+    then weighted by the per-cell `area` [H, W] and averaged spatially —
+    unlike `mse_loss`, the weighting happens *after* the (T, C) reduction,
+    which matters when `area` is not normalized to mean 1.
+    """
+    loss = jnp.mean((prediction - target) ** 2, axis=(0, 1))
+    return jnp.mean(loss * area)
+
+
 def latitude_weights(lats_deg: np.ndarray) -> np.ndarray:
     """cos(lat)/mean(cos(lat)) (WeatherBench eq. 2; `evaluate.py:788-792`)."""
     w = np.cos(np.deg2rad(lats_deg))
