@@ -101,9 +101,21 @@ def edge_features_local(
     return np.concatenate([disp, norm], -1).astype(np.float32)
 
 
-def node_features(xyz: np.ndarray) -> np.ndarray:
+def node_features(xyz: np.ndarray, unit: str = "rad") -> np.ndarray:
+    """[cos(lat), sin(lon), cos(lon)] mesh node features.
+
+    unit="rad" (default) is the sane encoding.  unit="deg_quirk" reproduces
+    the reference exactly: its `add_node_features` feeds DEGREE values from
+    `xyz2latlon` (default unit="deg") straight into cos/sin
+    (`graph_utils.py:153-176,212-241`), so longitude wraps ~28 times over
+    the sphere — kept only as a parity option.
+    """
     ll = xyz2latlon(xyz)
     lat, lon = ll[:, 0], ll[:, 1]
+    if unit == "deg_quirk":
+        lat, lon = np.rad2deg(lat), np.rad2deg(lon)
+    elif unit != "rad":
+        raise ValueError(f"unknown unit: {unit!r}")
     return np.stack([np.cos(lat), np.sin(lon), np.cos(lon)], -1).astype(np.float32)
 
 
@@ -116,9 +128,22 @@ def _bidirect_dedup(src: np.ndarray, dst: np.ndarray) -> tuple[np.ndarray, np.nd
 
 
 @functools.lru_cache(maxsize=None)
-def build_graphcast_graphs(nlat: int, nlon: int, mesh_level: int = 3):
+def build_graphcast_graphs(
+    nlat: int, nlon: int, mesh_level: int = 3,
+    grid_convention: str = "cell_centers",
+    node_feat_unit: str = "rad",
+):
     """Returns (mesh_graph, g2m, m2g, mesh_node_feat [V,3], mesh_pos [V,3],
-    grid_latlon [N,2])."""
+    grid_latlon [N,2]).
+
+    grid_convention:
+    - "cell_centers" (default): WeatherBench cell centers, lats
+      [-90+d/2, 90-d/2], lons [0, 360).
+    - "pole_inclusive": the reference GraphCastNet's grid
+      (`graph_cast_net.py:189-193`): lats linspace(-90, 90, nlat) including
+      both poles, lons linspace(-180, 180, nlon+1)[1:].  Degenerate at the
+      poles (all longitudes coincide) but needed for reference parity.
+    """
     ico = icospheres(mesh_level)
     verts = ico[f"order_{mesh_level}_vertices"]
     faces_l = ico[f"order_{mesh_level}_faces"]
@@ -136,10 +161,18 @@ def build_graphcast_graphs(nlat: int, nlon: int, mesh_level: int = 3):
         src.astype(np.int32), dst.astype(np.int32), mesh_ef, V, V
     )
 
-    # --- lat-lon grid (WeatherBench cell centers, row-major lat x lon) ---
-    dlat = 180.0 / nlat
-    lats = np.linspace(-90 + dlat / 2, 90 - dlat / 2, nlat)
-    lons = np.linspace(0, 360, nlon, endpoint=False)
+    # --- lat-lon grid (row-major lat x lon) ---
+    if grid_convention == "pole_inclusive":
+        # float32 like the reference's torch.linspace grid so the NN
+        # distance cut selects identical g2m edges
+        lats = np.linspace(-90, 90, nlat, dtype=np.float32)
+        lons = np.linspace(-180, 180, nlon + 1, dtype=np.float32)[1:]
+    elif grid_convention == "cell_centers":
+        dlat = 180.0 / nlat
+        lats = np.linspace(-90 + dlat / 2, 90 - dlat / 2, nlat)
+        lons = np.linspace(0, 360, nlon, endpoint=False)
+    else:
+        raise ValueError(f"unknown grid_convention: {grid_convention!r}")
     grid_latlon = np.stack(
         [np.repeat(lats, nlon), np.tile(lons, nlat)], -1
     )
@@ -166,4 +199,7 @@ def build_graphcast_graphs(nlat: int, nlon: int, mesh_level: int = 3):
     m2g_ef = edge_features_local(verts[m_src], grid_xyz[m_dst])
     m2g = GraphArrays(m_src.astype(np.int32), m_dst.astype(np.int32), m2g_ef, V, N)
 
-    return mesh_graph, g2m, m2g, node_features(verts), verts, grid_latlon
+    return (
+        mesh_graph, g2m, m2g,
+        node_features(verts, unit=node_feat_unit), verts, grid_latlon,
+    )

@@ -58,6 +58,12 @@ class GraphCastNet(RolloutModel):
     aggregation: str = "sum"
     context_size: int = 1
     mesh: str = "equirectangular"
+    # "cell_centers" (ours) or "pole_inclusive" (the reference's grid,
+    # `graph_cast_net.py:189-193`) — see `grids/mesh_graph.py`
+    grid_convention: str = "cell_centers"
+    # "rad" (sane) or "deg_quirk" (the reference's degrees-into-cos/sin
+    # mesh node features, `graph_utils.py:153-176`) — see `grids/mesh_graph.py`
+    node_feat_unit: str = "rad"
     spmd_mesh: Any = None  # jax Mesh: partition the processor over dist_axis
     dist_axis: str = "x"
 
@@ -66,7 +72,9 @@ class GraphCastNet(RolloutModel):
         B, H, W, Cin = x.shape
         D, hl = self.hidden_dim, self.hidden_layers
         mesh_g, g2m, m2g, mesh_nfeat0, _, _ = build_graphcast_graphs(
-            self.input_height, self.input_width, self.mesh_level
+            self.input_height, self.input_width, self.mesh_level,
+            grid_convention=self.grid_convention,
+            node_feat_unit=self.node_feat_unit,
         )
         N, V = g2m.n_src, g2m.n_dst
         grid = x.reshape(B, N, Cin)
