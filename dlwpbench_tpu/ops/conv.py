@@ -134,7 +134,9 @@ ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
     # `models/graphcast/utils/activations.py:128-155`)
     "stan": lambda x: jnp.tanh(x) * (x + 1.0),
     "squareplus": lambda x: 0.5 * (x + jnp.sqrt(x * x + 4.0)),
-    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+    # the reference factory's slope is 0.1 (`activations.py:106`), not
+    # torch's/flax's 0.01 default
+    "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.1),
     "elu": nn.elu,
     "gelu_erf": lambda x: nn.gelu(x, approximate=False),
 }

@@ -1027,6 +1027,37 @@ class TestGraphCastFullParity:
         )
 
 
+class TestActivationFactoryParity:
+    @pytest.mark.parametrize(
+        "name", ["silu", "relu", "tanh", "sigmoid", "identity", "stan",
+                 "squareplus", "leaky_relu", "elu", "gelu"]
+    )
+    def test_matches_reference(self, name):
+        """Our activation table vs the reference Modulus factory
+        (`models/graphcast/utils/activations.py:128-155`)."""
+        import importlib.util
+
+        import jax.numpy as jnp
+        import torch
+
+        from dlwpbench_tpu.ops.conv import get_activation
+
+        fp = os.path.join(REF, "models", "graphcast", "utils", "activations.py")
+        spec = importlib.util.spec_from_file_location("ref_gc_act", fp)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+
+        ref_fn = mod.get_activation(name)
+        x = np.linspace(-4, 4, 101, dtype=np.float32)
+        if name == "stan":  # Stan(out_features=1) wants a trailing feat dim
+            x = x[:, None]
+        with torch.no_grad():
+            want = ref_fn(torch.as_tensor(x)).numpy()
+        ours = "gelu_exact" if name == "gelu" else name  # torch GELU is erf
+        got = np.asarray(get_activation(ours)(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 class TestCellAreaWeightedLoss:
     def test_parity(self):
         """`models/graphcast/utils/loss.py:26-56` — cell-area-weighted MSE."""
