@@ -732,8 +732,18 @@ class TestMeshGraphNetFullParity:
             jax.random.PRNGKey(0),
             jnp.asarray(const), jnp.asarray(pres), jnp.asarray(prog),
         )
-        tree = dict(params["params"])
+        tree = self._copied_tree(ref, dict(params["params"]))
 
+        got = np.asarray(
+            ours.apply(
+                {"params": tree},
+                jnp.asarray(const), jnp.asarray(pres), jnp.asarray(prog),
+            )
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def _copied_tree(self, ref, tree):
         # step() instantiation order: MeshGraphMLP_0 = node encoder,
         # MeshGraphMLP_1 = edge encoder, MeshEdgeBlock_i/MeshNodeBlock_i
         # processor pairs, MeshGraphMLP_2 = decoder (no norm).
@@ -752,7 +762,57 @@ class TestMeshGraphNetFullParity:
                 )
             }
         tree["MeshGraphMLP_2"] = _copy_mlp_params(ref.node_decoder.model)
+        return tree
 
+    def test_multistep_closed_loop(self):
+        """4-step closed-loop rollout == chained reference single-steps.
+
+        The reference's own multi-step branch crashes on the
+        `.to()`-on-list fork defect (`meshgraphnet.py:468-473`, SURVEY
+        2.9), but with context_size=1 the upstream-intent closed loop is
+        exactly a chain of its WORKING single-step branch (each step's
+        window is just the previous output) — no reference logic needs
+        reimplementing."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from dlwpbench_tpu.models.mgn import MeshGraphNet
+
+        mgn_mod = _load_ref_meshgraphnet()
+        ref = self._ref_model(mgn_mod)
+
+        B, T = 1, 5
+        rng = np.random.default_rng(9)
+        const = rng.standard_normal((B, 1, self.Cc, self.H, self.W)).astype(
+            np.float32
+        )
+        pres = rng.standard_normal((B, T, self.Cp, self.H, self.W)).astype(
+            np.float32
+        )
+        prog = rng.standard_normal((B, T, self.Cq, self.H, self.W)).astype(
+            np.float32
+        )
+        want = _chained_ref_rollout(ref, const, pres, prog)
+
+        ours = MeshGraphNet(
+            constant_channels=self.Cc,
+            prescribed_channels=self.Cp,
+            prognostic_channels=self.Cq,
+            context_size=1,
+            processor_size=3,
+            hidden_dim_processor=16,
+            hidden_dim_node_encoder=16,
+            hidden_dim_edge_encoder=16,
+            hidden_dim_node_decoder=16,
+            graph_type="grid_2d",
+            periodic=True,
+        )
+        params = ours.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(const), jnp.asarray(pres), jnp.asarray(prog),
+        )
+        tree = self._copied_tree(ref, dict(params["params"]))
         got = np.asarray(
             ours.apply(
                 {"params": tree},
@@ -760,7 +820,25 @@ class TestMeshGraphNetFullParity:
             )
         )
         assert got.shape == want.shape
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def _chained_ref_rollout(ref, const, pres, prog):
+    """Multi-step closed-loop oracle from the reference's single-step branch
+    (context_size=1): feed each step's output back as the next window."""
+    import torch
+
+    T = prog.shape[1]
+    cur = torch.as_tensor(prog[:, 0:1])
+    outs = []
+    with torch.no_grad():
+        for t in range(1, T):
+            p2 = torch.cat([cur, cur], dim=1)  # slot 1 is unused
+            pres2 = torch.as_tensor(pres[:, t - 1 : t + 1])
+            out = ref(torch.as_tensor(const), pres2, p2)
+            outs.append(out[:, 0])
+            cur = out
+    return torch.stack(outs, dim=1).numpy()
 
 
 class TestGraphCastFullParity:
@@ -944,7 +1022,39 @@ class TestGraphCastFullParity:
             jax.random.PRNGKey(0),
             jnp.asarray(const), jnp.asarray(pres), jnp.asarray(prog),
         )
-        tree = dict(params["params"])
+        tree = self._copied_tree(ref, dict(params["params"]))
+
+        got = np.asarray(
+            ours.apply(
+                {"params": tree},
+                jnp.asarray(const), jnp.asarray(pres), jnp.asarray(prog),
+            )
+        )
+        assert got.shape == want.shape
+        np.testing.assert_allclose(
+            got[..., self._untied_mask(ref)],
+            want[..., self._untied_mask(ref)],
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def _untied_mask(self, ref):
+        """[H, W] bool mask excluding the few grid points whose m2g face
+        assignment is an exact nearest-centroid tie broken differently
+        (verified ties; m2g only affects the decoder aggregation at
+        exactly those dst points)."""
+        from dlwpbench_tpu.grids.mesh_graph import build_graphcast_graphs
+
+        _, _, m2g, *_ = build_graphcast_graphs(
+            self.H, self.W, self.L, grid_convention="pole_inclusive",
+            node_feat_unit="deg_quirk",
+        )
+        tied = self._m2g_tied_grid_points(ref, m2g)
+        mask = np.ones(self.H * self.W, bool)
+        mask[list(tied)] = False
+        return mask.reshape(self.H, self.W)
+
+    def _copied_tree(self, ref, tree):
+        import numpy as np
 
         # -- grid embedder: the reference assembles channels as
         # [prescribed, prognostic, constants] (`graph_cast_net.py:692-696`),
@@ -1001,7 +1111,53 @@ class TestGraphCastFullParity:
         tree["MeshGraphMLP_8"] = _copy_mlp_params(ref.decoder.edge_mlp.model)
         tree["MeshGraphMLP_9"] = _copy_mlp_params(ref.decoder.node_mlp.model)
         tree["MeshGraphMLP_10"] = _copy_mlp_params(ref.finale.model)
+        return tree
 
+    def test_multistep_closed_loop(self, tmp_path):
+        """4-step closed-loop rollout == chained reference single-steps
+        (same oracle construction as the MGN multi-step test; the
+        reference's own multi-step branch has the `.to()`-on-list fork
+        defect, `graph_cast_net.py:640-644`)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.models.graphcast import GraphCastNet
+
+        gc_mod = _load_ref_graphcast()
+        ref = self._ref_model(gc_mod, tmp_path)
+
+        B, T = 1, 5
+        rng = np.random.default_rng(13)
+        const = rng.standard_normal((B, 1, self.Cc, self.H, self.W)).astype(
+            np.float32
+        )
+        pres = rng.standard_normal((B, T, self.Cp, self.H, self.W)).astype(
+            np.float32
+        )
+        prog = rng.standard_normal((B, T, self.Cq, self.H, self.W)).astype(
+            np.float32
+        )
+        want = _chained_ref_rollout(ref, const, pres, prog)
+
+        ours = GraphCastNet(
+            input_height=self.H,
+            input_width=self.W,
+            constant_channels=self.Cc,
+            prescribed_channels=self.Cp,
+            prognostic_channels=self.Cq,
+            mesh_level=self.L,
+            processor_layers=self.P,
+            hidden_layers=1,
+            hidden_dim=self.D,
+            context_size=1,
+            grid_convention="pole_inclusive",
+            node_feat_unit="deg_quirk",
+        )
+        params = ours.init(
+            jax.random.PRNGKey(0),
+            jnp.asarray(const), jnp.asarray(pres), jnp.asarray(prog),
+        )
+        tree = self._copied_tree(ref, dict(params["params"]))
         got = np.asarray(
             ours.apply(
                 {"params": tree},
@@ -1009,21 +1165,9 @@ class TestGraphCastFullParity:
             )
         )
         assert got.shape == want.shape
-
-        # mask the few grid points whose m2g face assignment is an exact
-        # nearest-centroid tie broken differently (verified ties; m2g only
-        # affects the decoder aggregation at exactly those dst points)
-        from dlwpbench_tpu.grids.mesh_graph import build_graphcast_graphs
-
-        _, _, m2g, *_ = build_graphcast_graphs(
-            self.H, self.W, self.L, grid_convention="pole_inclusive"
-        )
-        tied = self._m2g_tied_grid_points(ref, m2g)
-        mask = np.ones(self.H * self.W, bool)
-        mask[list(tied)] = False
-        mask = mask.reshape(self.H, self.W)
+        mask = self._untied_mask(ref)
         np.testing.assert_allclose(
-            got[..., mask], want[..., mask], rtol=1e-4, atol=1e-4
+            got[..., mask], want[..., mask], rtol=1e-3, atol=2e-4
         )
 
 

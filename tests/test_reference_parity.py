@@ -433,6 +433,8 @@ class TestFullFourCastNetRolloutParity:
 
         from dlwpbench_tpu.models.fourcastnet import FourCastNet
 
+        torch.manual_seed(5)  # multistep closed-loop parity reuses these
+        # weights; unseeded draws occasionally amplify past the tolerance
         Cc, Cp, Cq = 2, 1, 3
         # T = context+1: the reference's own closed-loop branch crashes with
         # `.to()` on a python list (fork defect, SURVEY 2.9,
@@ -521,6 +523,52 @@ class TestFullFourCastNetRolloutParity:
         )
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+        self._tree, self._ref, self._ours = tree, ref, ours  # for multistep
+
+    def test_afnonet_multistep_closed_loop(self):
+        """4-step closed-loop rollout == chained reference single-steps.
+
+        The reference's own closed-loop branch crashes on the
+        `.to()`-on-list fork defect (`fourcastnet.py:336-340`), but with
+        context_size=1 the upstream-intent loop is exactly a chain of its
+        WORKING single-step branch (each step's window is the previous
+        output), so multi-step scan semantics are directly comparable."""
+        import torch
+
+        import jax.numpy as jnp
+
+        self.test_afnonet_rollout_allclose()  # builds ref/ours/tree
+        ref, ours, tree = self._ref, self._ours, self._tree
+
+        Cc, Cp, Cq = 2, 1, 3
+        B, T, H, W = 2, 5, 16, 32
+        rng = np.random.default_rng(1)
+        const = rng.standard_normal((B, 1, Cc, H, W)).astype(np.float32)
+        pres = rng.standard_normal((B, T, Cp, H, W)).astype(np.float32)
+        prog = rng.standard_normal((B, T, Cq, H, W)).astype(np.float32)
+
+        cur = torch.as_tensor(prog[:, 0:1])
+        outs = []
+        with torch.no_grad():
+            for t in range(1, T):
+                p2 = torch.cat([cur, cur], dim=1)  # slot 1 is unused
+                out = ref(
+                    torch.as_tensor(const),
+                    torch.as_tensor(pres[:, t - 1 : t + 1]),
+                    p2,
+                )
+                outs.append(out[:, 0])
+                cur = out
+        want = torch.stack(outs, dim=1).numpy()
+
+        got = np.asarray(
+            ours.apply({"params": tree}, jnp.asarray(const), jnp.asarray(pres),
+                       jnp.asarray(prog))
+        )
+        assert got.shape == want.shape
+        # fp32 rounding compounds over 4 chained spectral steps (softshrink
+        # thresholding flips a few coefficients near the shrink boundary)
+        np.testing.assert_allclose(got, want, rtol=5e-3, atol=1.5e-3)
 
 
 class TestFullSwinRolloutParity:
