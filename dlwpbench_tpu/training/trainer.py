@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 import math
 import os
+import threading
 import time
 from typing import Any, Callable, Optional
 
@@ -321,6 +322,7 @@ class Trainer:
             from dlwpbench_tpu.utils.logging import RunLogger
 
             logger = RunLogger(run_dir)
+        ckpt_writer = AsyncCheckpointWriter()
         while state.epoch < self.epochs:
             t0 = time.time()
             train_loss = self.train_epoch(state, train_ds, batch_size)
@@ -349,10 +351,11 @@ class Trainer:
             if run_dir:
                 if val_loss < state.best_val_error:
                     state.best_val_error = val_loss
-                    save_checkpoint(run_dir, model_name, state, kind="best")
-                save_checkpoint(run_dir, model_name, state, kind="last")
+                    ckpt_writer.submit(run_dir, model_name, state, kind="best")
+                ckpt_writer.submit(run_dir, model_name, state, kind="last")
             if on_epoch_end:
                 on_epoch_end(state, train_loss, val_loss, per_lead)
+        ckpt_writer.join()  # all checkpoints durable before fit() returns
         if logger:
             logger.close()
         return state
@@ -397,6 +400,32 @@ def _prefetch_to_device(batch_iter, depth: int = 2, sharding=None):
 # ----------------------------------------------------------------------
 # Checkpointing (reference `utils/utils.py:29-57` + restore `train.py:110-123`)
 # ----------------------------------------------------------------------
+
+
+class AsyncCheckpointWriter:
+    """Background checkpoint writes — the reference runs `write_checkpoint`
+    on a `threading.Thread` so epoch N+1 compute overlaps checkpoint IO
+    (`train.py:464-474`).  One worker at a time: each submit joins the
+    previous write first, so best/last ordering is preserved and at most
+    one serialization is in flight.  jax Arrays are immutable, so handing
+    the (shallow-copied) TrainState to the thread is race-free."""
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+
+    def submit(self, run_dir: str, name: str, state: TrainState, kind: str):
+        self.join()
+        snap = dataclasses.replace(state)  # freeze the scalar fields
+        self._thread = threading.Thread(
+            target=save_checkpoint, args=(run_dir, name, snap, kind),
+            daemon=True,
+        )
+        self._thread.start()
+
+    def join(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
 
 
 def save_checkpoint(run_dir: str, name: str, state: TrainState, kind: str = "last"):
