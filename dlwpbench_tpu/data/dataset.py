@@ -138,10 +138,20 @@ class WindowedWeatherDataset:
         return out
 
     def batches(
-        self, batch_size: int, shuffle: bool = False, drop_last: bool = False
+        self, batch_size: int, shuffle: bool = False, drop_last: bool = False,
+        host_id: int = 0, n_hosts: int = 1, epoch: int | None = None,
     ) -> Iterator[tuple]:
         """Yield batched (constants, prescribed, prognostic, target) arrays
         with a leading batch dim.
+
+        Multi-host sharding (SURVEY hard part #6: per-host shards must be
+        deterministic so distributed metrics equal single-host metrics):
+        with `n_hosts > 1`, every host builds the SAME epoch permutation —
+        seeded purely by (dataset seed, epoch), so pass `epoch` whenever
+        shuffling across hosts — and host h takes the strided slice
+        order[h::n_hosts] (truncated so all hosts yield equally many
+        batches).  The union of all hosts' windows is exactly the
+        single-host epoch; shards are disjoint.
 
         Fast path: the native C++ window batcher (`data/native.py`) gathers
         all windows of a batch with multithreaded memcpy + fused noise; falls
@@ -150,7 +160,20 @@ class WindowedWeatherDataset:
         """
         order = np.arange(len(self))
         if shuffle:
-            self._rng.shuffle(order)
+            if n_hosts > 1:
+                if epoch is None:
+                    raise ValueError(
+                        "multi-host shuffling needs `epoch` so every host "
+                        "derives the same permutation"
+                    )
+                np.random.default_rng((self.seed, int(epoch))).shuffle(order)
+            else:
+                self._rng.shuffle(order)
+        if n_hosts > 1:
+            if not 0 <= host_id < n_hosts:
+                raise ValueError(f"host_id {host_id} not in [0, {n_hosts})")
+            usable = len(order) - len(order) % n_hosts  # hosts in lockstep
+            order = order[host_id:usable:n_hosts]
         n = len(order)
         step = batch_size
         stop = n - (n % step) if drop_last else n

@@ -75,8 +75,15 @@ class Trainer:
         compute_dtype: str | None = None,
         spmd_mesh: Any = None,
         batch_axis: str = "data",
+        host_id: int = 0,
+        n_hosts: int = 1,
     ):
         self.model = model
+        # Multi-host input sharding: each host loads a disjoint, epoch-
+        # deterministic slice of the epoch (dataset.batches host args);
+        # defaults (0, 1) are single-host.  Pass jax.process_index()/
+        # jax.process_count() on a real multi-host mesh.
+        self.host_id, self.n_hosts = host_id, n_hosts
         # Data parallelism (the reference's DistributedManager/DDP role,
         # `manager.py:29-34`): batches shard over `batch_axis`, params and
         # optimizer state replicate; XLA inserts the gradient all-reduce.
@@ -265,7 +272,11 @@ class Trainer:
         lr = float(cosine_lr(state.epoch, self.base_lr, self.epochs))
         losses = []
         for batch in _prefetch_to_device(
-            dataset.batches(batch_size, shuffle=shuffle),
+            dataset.batches(
+                batch_size, shuffle=shuffle,
+                host_id=self.host_id, n_hosts=self.n_hosts,
+                epoch=state.epoch if self.n_hosts > 1 else None,
+            ),
             sharding=self._batch_sharding,
         ):
             const, pres, prog, target = batch

@@ -123,6 +123,82 @@ class TestWindowedDataset:
         assert (t.hour == 11).all()
 
 
+class TestMultiHostSharding:
+    """Per-host input shards (SURVEY hard part #6): deterministic,
+    disjoint, lockstep, and their union is the single-host epoch."""
+
+    def _make(self, T=41, seq=2):
+        from dlwpbench_tpu.data.dataset import WindowedWeatherDataset
+
+        Cq, H, W = 1, 2, 4
+        # encode the window start index in the data so batches identify
+        # their windows
+        prog = np.arange(T, dtype=np.float32)[:, None, None, None] * np.ones(
+            (T, Cq, H, W), np.float32
+        )
+        return WindowedWeatherDataset(
+            prognostic=prog, sequence_length=seq, seed=7
+        )
+
+    @staticmethod
+    def _window_ids(batches):
+        ids = []
+        for _, _, prog, _ in batches:
+            ids.extend(float(prog[b, 0, 0, 0, 0]) for b in range(prog.shape[0]))
+        return ids
+
+    def test_union_is_single_host_epoch(self):
+        ds = self._make()
+        n_hosts = 4
+        single = self._window_ids(ds.batches(2, shuffle=True, host_id=0,
+                                             n_hosts=1, epoch=3))
+        # NOTE: single-host shuffle uses the dataset's stateful rng; rebuild
+        # for a clean comparison set
+        ds = self._make()
+        single = set(self._window_ids(ds.batches(2)))
+        shards = [
+            self._window_ids(
+                self._make().batches(
+                    2, shuffle=True, host_id=h, n_hosts=n_hosts, epoch=3
+                )
+            )
+            for h in range(n_hosts)
+        ]
+        # lockstep: equal window counts per host
+        assert len({len(sh) for sh in shards}) == 1
+        # disjoint
+        all_ids = [i for sh in shards for i in sh]
+        assert len(all_ids) == len(set(all_ids))
+        # union == the epoch (up to the n_hosts lockstep truncation)
+        missing = single - set(all_ids)
+        assert len(missing) < n_hosts
+        assert set(all_ids) <= single
+
+    def test_deterministic_across_processes(self):
+        """Same (seed, epoch, host) -> identical stream; epochs differ."""
+        a = self._window_ids(
+            self._make().batches(2, shuffle=True, host_id=1, n_hosts=4,
+                                 epoch=5)
+        )
+        b = self._window_ids(
+            self._make().batches(2, shuffle=True, host_id=1, n_hosts=4,
+                                 epoch=5)
+        )
+        c = self._window_ids(
+            self._make().batches(2, shuffle=True, host_id=1, n_hosts=4,
+                                 epoch=6)
+        )
+        assert a == b
+        assert a != c
+
+    def test_multihost_shuffle_requires_epoch(self):
+        import pytest as _pytest
+
+        ds = self._make()
+        with _pytest.raises(ValueError, match="epoch"):
+            next(ds.batches(2, shuffle=True, host_id=0, n_hosts=2))
+
+
 class TestMetrics:
     def test_weighted_rmse_uniform(self):
         import jax.numpy as jnp
