@@ -56,6 +56,28 @@ def _flatten_window(win: jax.Array) -> jax.Array:
     return win.reshape(b, *spatial, ctx * c)
 
 
+def wrap_remat(body, remat: bool, remat_policy: str = "full"):
+    """Wrap a flax scan body in per-step rematerialization.
+
+    Shared by `RolloutModel` and the models with bespoke scan semantics
+    (ConvLSTM scans from t=0 with persistent h/c; DISTANA carries lateral
+    lattice state) so every family honors `clone(remat=True)` the same way.
+    """
+    if not remat:
+        return body
+    policies = {
+        "full": None,
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }
+    if remat_policy not in policies:
+        raise ValueError(
+            f"unknown remat_policy {remat_policy!r}; "
+            f"expected one of {sorted(policies)}"
+        )
+    return nn.remat(body, prevent_cse=False, policy=policies[remat_policy])
+
+
 class RolloutModel(nn.Module):
     """Base class: subclasses implement `step` (and optionally `init_state`).
 
@@ -146,24 +168,8 @@ class RolloutModel(nn.Module):
             window = jnp.concatenate([window[:, 1:], out[:, None]], axis=1)
             return (window, state), out
 
-        if self.remat:
-            policies = {
-                "full": None,
-                "dots": jax.checkpoint_policies.dots_saveable,
-                "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
-            }
-            if self.remat_policy not in policies:
-                raise ValueError(
-                    f"unknown remat_policy {self.remat_policy!r}; "
-                    f"expected one of {sorted(policies)}"
-                )
-            scan_body = nn.remat(
-                body, prevent_cse=False, policy=policies[self.remat_policy]
-            )
-        else:
-            scan_body = body
         scan = nn.scan(
-            scan_body,
+            wrap_remat(body, self.remat, self.remat_policy),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,

@@ -23,7 +23,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dlwpbench_tpu.models.base import _to_channels_first, _to_channels_last
+from dlwpbench_tpu.models.base import (
+    _to_channels_first,
+    _to_channels_last,
+    wrap_remat,
+)
 from dlwpbench_tpu.ops.conv import GeoConv, get_activation
 
 
@@ -53,6 +57,10 @@ class ConvLSTM(nn.Module):
     context_size: int = 1
     mesh: str = "equirectangular"
     activation: str = "tanh"
+    # Per-step rematerialization (see RolloutModel): without it a T-step
+    # rollout saves every gate/conv activation for backward — O(T * net).
+    remat: bool = False
+    remat_policy: str = "full"
 
     def setup(self):
         self.enc1 = GeoConv(self.hidden_sizes[0], 3, mesh=self.mesh)
@@ -111,7 +119,7 @@ class ConvLSTM(nn.Module):
             return (out, states), out
 
         scan = nn.scan(
-            body,
+            wrap_remat(body, self.remat, self.remat_policy),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,

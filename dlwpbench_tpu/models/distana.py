@@ -30,7 +30,11 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dlwpbench_tpu.models.base import _to_channels_first, _to_channels_last
+from dlwpbench_tpu.models.base import (
+    _to_channels_first,
+    _to_channels_last,
+    wrap_remat,
+)
 from dlwpbench_tpu.ops.padding import healpix_pad_channels_last
 
 
@@ -112,6 +116,9 @@ class DISTANA(nn.Module):
     bias: bool = True
     context_size: int = 1
     mesh: str = "equirectangular"
+    # Per-step rematerialization (see RolloutModel / wrap_remat).
+    remat: bool = False
+    remat_policy: str = "full"
 
     def setup(self):
         self.pk = PredictionKernel(
@@ -165,7 +172,7 @@ class DISTANA(nn.Module):
             return (out, lateral, states), out
 
         scan = nn.scan(
-            body,
+            wrap_remat(body, self.remat, self.remat_policy),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=0,

@@ -17,6 +17,7 @@ TPU convolutions are fastest in NHWC with C on the 128-lane axis.
 
 from __future__ import annotations
 
+import re
 from typing import Callable
 
 import jax
@@ -148,8 +149,19 @@ def get_activation(name) -> Callable[[jax.Array], jax.Array]:
     key = str(name).lower()
     if key in ACTIVATIONS:  # exact name first ("gelu_exact" vs "gelu")
         return ACTIVATIONS[key]
-    # accept reference-style torch specs like "torch.nn.GELU()"; try the
-    # most specific (longest) names first so "leakyrelu" != "relu"
+    # accept reference-style torch specs like "torch.nn.GELU()" — the
+    # reference eval()s these as torch modules (`unet.py` configs), so a
+    # numeric argument must be honored: LeakyReLU(0.05) -> slope 0.05,
+    # ELU(0.3) -> alpha 0.3.
+    arg = re.search(r"\(\s*(?:\w+\s*=\s*)?([-+0-9.eE]+)\s*\)", key)
+    if arg:
+        val = float(arg.group(1))
+        if "leaky" in key:
+            return lambda x: nn.leaky_relu(x, negative_slope=val)
+        if "elu" in key and "gelu" not in key:
+            return lambda x: nn.elu(x, alpha=val)
+    # name-only specs: try the most specific (longest) names first so
+    # "leakyrelu" != "relu"
     for k in sorted(ACTIVATIONS, key=len, reverse=True):
         if k in key or k.replace("_", "") in key.replace("_", ""):
             return ACTIVATIONS[k]

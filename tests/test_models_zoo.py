@@ -647,6 +647,15 @@ class TestActivationFactory:
             np.asarray(get_activation("squareplus")(x)),
             0.5 * (np.asarray(x) + np.sqrt(np.asarray(x) ** 2 + 4.0)),
             rtol=1e-6)
+        # torch specs are eval()ed by the reference, so numeric args bind:
+        # LeakyReLU(0.05) -> slope 0.05 (torch oracle: -0.05 at x=-1)
         lk = get_activation("torch.nn.LeakyReLU(0.05)")
-        assert float(lk(jnp.asarray(-1.0))) == pytest.approx(-0.01)
+        assert float(lk(jnp.asarray(-1.0))) == pytest.approx(-0.05)
+        lk2 = get_activation("torch.nn.LeakyReLU(negative_slope=0.2)")
+        assert float(lk2(jnp.asarray(-1.0))) == pytest.approx(-0.2)
+        # name-only LeakyReLU routes to the Modulus-factory slope (0.1)
+        assert float(get_activation("leakyrelu")(jnp.asarray(-1.0))) == (
+            pytest.approx(-0.1))
         assert float(get_activation("torch.nn.ELU()")(jnp.asarray(1.0))) == 1.0
+        assert float(get_activation("torch.nn.ELU(0.5)")(jnp.asarray(-10.0))
+                     ) == pytest.approx(-0.5, rel=1e-3)

@@ -142,6 +142,48 @@ class TestRemat:
             )
             assert max(jax.tree.leaves(diff)) < 1e-5
 
+    def test_remat_stateful_scan_models(self):
+        """ConvLSTM/DISTANA scan with their own bespoke bodies (persistent
+        h/c, lateral lattice state) — remat must preserve values and grads,
+        and must actually reduce what is saved for backward."""
+        import jax
+        import jax.numpy as jnp
+        from jax._src.ad_checkpoint import saved_residuals
+
+        from dlwpbench_tpu.models.convlstm import ConvLSTM
+        from dlwpbench_tpu.models.distana import DISTANA
+
+        prog = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, 6, 2, 8, 16)),
+            jnp.float32,
+        )
+        for cls, kw in (
+            (ConvLSTM, dict(hidden_sizes=(6, 6))),
+            (DISTANA, dict(hidden_size=6, layers=2)),
+        ):
+            m0 = cls(constant_channels=0, prescribed_channels=0,
+                     prognostic_channels=2, context_size=1, **kw)
+            m1 = m0.clone(remat=True)
+            p = m0.init(jax.random.PRNGKey(0), None, None, prog)
+
+            def loss(params, model):
+                return (model.apply(params, None, None, prog) ** 2).mean()
+
+            l0, g0 = jax.value_and_grad(loss)(p, m0)
+            l1, g1 = jax.value_and_grad(loss)(p, m1)
+            assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+            diff = jax.tree.map(
+                lambda a, b: float(jnp.abs(a - b).max()), g0, g1
+            )
+            assert max(jax.tree.leaves(diff)) < 1e-5
+
+            n_saved = lambda model: sum(
+                int(np.prod(aval.shape))
+                for aval, _ in saved_residuals(
+                    lambda pp: loss(pp, model), p)
+            )
+            assert n_saved(m1) < 0.5 * n_saved(m0), cls.__name__
+
 
 class TestMixedPrecision:
     def test_bf16_compute_fp32_master(self):
