@@ -55,8 +55,10 @@ LABEL = {
     "pangu": "Pangu-Weather", "fourcastnet": "FourCastNet p=1x1",
     "sfno2d": "SFNO", "fno2d": "FNO2D", "tfno2d": "TFNO2D",
     "mgn": "MeshGraphNet", "graphcast": "GraphCast",
-    # extensions (no reference GPU row): windowed Swin
+    # extensions (no reference GPU row): windowed Swin, DISTANA (the
+    # reference ships only a config for DISTANA, no implementation)
     "swin_win8": "SwinTransformer w8x8 (extension)",
+    "distana": "DISTANA (extension)",
 }
 
 
@@ -105,8 +107,8 @@ def main(argv=None):
         if not rows:
             continue
         lines += [f"## {LABEL[fam]}", "",
-                  "| rung | params | step ms | epoch(2014) s | ref GPU s/epoch | speedup | mem MB | ref GPU MB |",
-                  "|---|---|---|---|---|---|---|---|"]
+                  "| rung | params | step ms | epoch(2014) s | ref GPU s/epoch | speedup | mem MB | ref GPU MB | TFLOP/s |",
+                  "|---|---|---|---|---|---|---|---|---|"]
         for i, rung in enumerate(RUNG_ORDER):
             e = rows.get(rung)
             if e is None:
@@ -115,13 +117,15 @@ def main(argv=None):
             ref_mb = REF_MEMORY_MB.get(fam, [nan] * 10)[i]
             spd = ref_rt / e["epoch_s_2014_protocol"] if ref_rt == ref_rt else nan
             mem = e.get("peak_mb") or e.get("xla_plan_mb")
+            tf = e.get("achieved_tflops")
             lines.append(
                 f"| {rung} | {e['params']/1e6:.2f}M | {e['step_s']*1e3:.1f} "
                 f"| {e['epoch_s_2014_protocol']:.2f} "
                 f"| {'' if ref_rt != ref_rt else f'{ref_rt:.2f}'} "
                 f"| {'' if spd != spd else f'{spd:.1f}x'} "
                 f"| {'' if mem is None else f'{mem:.0f}'} "
-                f"| {'' if ref_mb != ref_mb else f'{ref_mb:.0f}'} |"
+                f"| {'' if ref_mb != ref_mb else f'{ref_mb:.0f}'} "
+                f"| {'' if tf is None else f'{tf:.2f}'} |"
             )
         lines.append("")
 
