@@ -104,17 +104,24 @@ def main():
 
     # MFU: FLOPs of ONE rollout from XLA's cost model (lowered on the host
     # CPU backend — the HLO is identical; the remote axon compiler does not
-    # expose cost_analysis), against the chip's peak.  v5e peak is 197
-    # TFLOP/s bf16; this run computes in fp32, so report both references.
+    # expose cost_analysis), against the chip's peak.  XLA's cost model
+    # counts a While/scan body ONCE regardless of trip count (verified:
+    # flops(T=17) == flops(T=2) for this model), so lower a T=2 program —
+    # exactly one rollout step — and multiply by the T-1 scanned steps.
+    # v5e peak is 197 TFLOP/s bf16; matmuls/convs on fp32 inputs run at
+    # DEFAULT precision (bf16 passes on the MXU), so bf16 peak is the
+    # honest denominator.
     mfu = mfu_bf16_peak = None
     try:
         if cpu is not None:
             with jax.default_device(cpu):
                 one = jax.jit(lambda p, c, pr, pg: model.apply(p, c, pr, pg))
-                cost = one.lower(params, const, pres, prog).compile().cost_analysis()
+                cost = one.lower(
+                    params, const, pres[:, :2], prog[:, :2]
+                ).compile().cost_analysis()
                 if isinstance(cost, (list, tuple)):
                     cost = cost[0]
-                flops = float(cost.get("flops", 0.0))
+                flops = float(cost.get("flops", 0.0)) * (T - 1)
             if flops > 0:
                 PEAK_BF16 = 197e12
                 mfu_bf16_peak = flops / dt / PEAK_BF16

@@ -143,23 +143,55 @@ ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
 }
 
 
+# torch classes whose first argument parameterizes the function, with the
+# torch default (NOT the Modulus-factory default — a torch spec eval()s to
+# the torch module): class -> (fn(x, val), default)
+_TORCH_PARAM_CLASSES: dict[str, tuple[Callable, float]] = {
+    "leakyrelu": (lambda x, v: nn.leaky_relu(x, negative_slope=v), 0.01),
+    "elu": (lambda x, v: nn.elu(x, alpha=v), 1.0),
+    "celu": (lambda x, v: nn.celu(x, alpha=v), 1.0),
+}
+
+
 def get_activation(name) -> Callable[[jax.Array], jax.Array]:
     if callable(name):
         return name
     key = str(name).lower()
     if key in ACTIVATIONS:  # exact name first ("gelu_exact" vs "gelu")
         return ACTIVATIONS[key]
-    # accept reference-style torch specs like "torch.nn.GELU()" — the
-    # reference eval()s these as torch modules (`unet.py` configs), so a
-    # numeric argument must be honored: LeakyReLU(0.05) -> slope 0.05,
-    # ELU(0.3) -> alpha 0.3.
-    arg = re.search(r"\(\s*(?:\w+\s*=\s*)?([-+0-9.eE]+)\s*\)", key)
-    if arg:
-        val = float(arg.group(1))
-        if "leaky" in key:
-            return lambda x: nn.leaky_relu(x, negative_slope=val)
-        if "elu" in key and "gelu" not in key:
-            return lambda x: nn.elu(x, alpha=val)
+    # Reference-style torch specs like "torch.nn.GELU()" are eval()ed as
+    # torch modules by the reference (`unet.py` configs), so parse them as
+    # a constructor call: exact class name + arguments.  The first numeric
+    # argument parameterizes LeakyReLU/ELU/CELU ("inplace=True" and other
+    # non-numeric kwargs are ignored, as they don't change the math);
+    # unknown parameterized classes raise rather than silently
+    # substituting a different function.
+    call = re.fullmatch(r"\s*([a-z_][\w.]*)\s*\((.*)\)\s*", key)
+    if call:
+        cls = call.group(1).rsplit(".", 1)[-1].replace("_", "")
+        val = None
+        for part in call.group(2).split(","):
+            part = part.strip()
+            if not part or part.startswith("inplace"):
+                continue
+            m = re.fullmatch(r"(?:\w+\s*=\s*)?([-+0-9.eE]+)", part)
+            if m:
+                val = float(m.group(1))
+                break
+            raise ValueError(f"unsupported activation argument {part!r} "
+                             f"in {name!r}")
+        if cls in _TORCH_PARAM_CLASSES:
+            fn, default = _TORCH_PARAM_CLASSES[cls]
+            v = default if val is None else val
+            return lambda x: fn(x, v)
+        if val is not None:
+            raise ValueError(
+                f"activation {name!r} has a numeric argument but "
+                f"{cls!r} is not a known parameterized activation")
+        for k in sorted(ACTIVATIONS, key=len, reverse=True):
+            if k.replace("_", "") == cls or k.replace("_", "") in cls:
+                return ACTIVATIONS[k]
+        raise ValueError(f"unknown activation {name!r}")
     # name-only specs: try the most specific (longest) names first so
     # "leakyrelu" != "relu"
     for k in sorted(ACTIVATIONS, key=len, reverse=True):

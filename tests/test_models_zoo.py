@@ -659,3 +659,21 @@ class TestActivationFactory:
         assert float(get_activation("torch.nn.ELU()")(jnp.asarray(1.0))) == 1.0
         assert float(get_activation("torch.nn.ELU(0.5)")(jnp.asarray(-10.0))
                      ) == pytest.approx(-0.5, rel=1e-3)
+        # multi-arg specs: non-numeric kwargs (inplace) must not defeat the
+        # numeric arg, and CELU is exp(x/alpha), not ELU's exp(x)
+        assert float(get_activation("torch.nn.ELU(0.5, inplace=True)")(
+            jnp.asarray(-10.0))) == pytest.approx(-0.5, rel=1e-3)
+        assert float(get_activation("torch.nn.LeakyReLU(0.05, inplace=True)")(
+            jnp.asarray(-1.0))) == pytest.approx(-0.05)
+        assert float(get_activation("torch.nn.CELU(0.3)")(jnp.asarray(-1.0))
+                     ) == pytest.approx(0.3 * (np.exp(-1 / 0.3) - 1.0), rel=1e-5)
+        # argless torch specs take the TORCH default (the reference eval()s
+        # the spec as a torch module), not the Modulus-factory default
+        assert float(get_activation("torch.nn.LeakyReLU()")(jnp.asarray(-1.0))
+                     ) == pytest.approx(-0.01)
+        # unknown parameterized classes fail loudly instead of silently
+        # routing to a different function
+        with pytest.raises(ValueError):
+            get_activation("torch.nn.Softplus(2.0)")
+        with pytest.raises(ValueError):
+            get_activation("torch.nn.PReLU(num_parameters=3)")
