@@ -198,12 +198,10 @@ def solve_width(family, target, shapes, H, W, Cc, Cp, Cq, nside, tol=0.10):
     return w, n
 
 
-def measure(model, shapes_np, dev, cpu, repeats=4, iters=3,
-            compute_dtype=None, rollout_trips=None):
-    """Compile + time the remat train step; return timings and memory.
-
-    compute_dtype="bfloat16" measures the mixed-precision step (bf16
-    compute, fp32 master params — the Trainer's recipe)."""
+def _prepare_step(model, shapes_np, cpu, dev, compute_dtype, repeats):
+    """Build (chained-train-step fn, host args) shared by measure() and the
+    flops backfill.  The chained program runs `repeats` train steps inside
+    one lax.scan so relay latency amortizes."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -220,8 +218,6 @@ def measure(model, shapes_np, dev, cpu, repeats=4, iters=3,
         params = jax.jit(model.init)(jax.random.PRNGKey(0), const, pres, prog)
     tx = optax.adamw(1e-3, weight_decay=1e-5)
     opt_state = tx.init(params)
-    p2, o2, c2, pr2, pg2, t2 = jax.device_put(
-        (params, opt_state, const, pres, prog, tgt), dev)
 
     def chained(p, o, c, pr, pg, t):
         def body(carry, _):
@@ -241,6 +237,37 @@ def measure(model, shapes_np, dev, cpu, repeats=4, iters=3,
 
         (p, o), losses = jax.lax.scan(body, (p, o), None, length=repeats)
         return losses.sum()
+
+    return chained, (params, opt_state, const, pres, prog, tgt)
+
+
+def step_flops(model, shapes_np, cpu, compute_dtype, rollout_trips):
+    """FLOPs of one train step from XLA's cost model, lowered on the host
+    CPU backend (identical HLO; the relay compiler hides cost_analysis).
+    Scan bodies are counted once, hence the trip-count multiply."""
+    import jax
+
+    chained, args = _prepare_step(model, shapes_np, cpu, cpu, compute_dtype,
+                                  repeats=1)
+    with jax.default_device(cpu):
+        cost = jax.jit(chained).lower(*args).compile().cost_analysis()
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0]
+    f = float(cost.get("flops", 0.0))
+    return f * rollout_trips if f > 0 else None
+
+
+def measure(model, shapes_np, dev, cpu, repeats=4, iters=3,
+            compute_dtype=None, rollout_trips=None):
+    """Compile + time the remat train step; return timings and memory.
+
+    compute_dtype="bfloat16" measures the mixed-precision step (bf16
+    compute, fp32 master params — the Trainer's recipe)."""
+    import jax
+
+    chained, args = _prepare_step(model, shapes_np, cpu, dev, compute_dtype,
+                                  repeats)
+    p2, o2, c2, pr2, pg2, t2 = jax.device_put(args, dev)
 
     jitted = jax.jit(chained)
     t0 = time.perf_counter()
@@ -313,6 +340,13 @@ def main(argv=None):
                     help="jax platform override (e.g. cpu for smoke runs; "
                          "the axon image clobbers JAX_PLATFORMS so the env "
                          "var alone cannot force CPU)")
+    ap.add_argument("--no-flops", action="store_true",
+                    help="skip the host-CPU flops lowering (saves compile "
+                         "time on slow hosts)")
+    ap.add_argument("--backfill-flops", action="store_true",
+                    help="no timing: fill flops_per_step/achieved_tflops "
+                         "into EXISTING entries (rebuild at the recorded "
+                         "width, lower on the host CPU backend)")
     args = ap.parse_args(argv)
 
     import jax
@@ -357,6 +391,48 @@ def main(argv=None):
     except Exception:
         results = {}
 
+    if args.backfill_flops:
+        fams = set(args.families.split(",")) if args.families else None
+        for key, e in sorted(results.items()):
+            if ("error" in e or e.get("flops_per_step")
+                    or not e.get("step_s")
+                    or (fams and e["family"] not in fams
+                        and args.families
+                        != ap.get_default("families"))):
+                continue
+            g = e["grid"]
+            if g.startswith("hpx"):
+                ns = int(g[3:])
+                sp, npts = (12, ns, ns), 12 * ns * ns
+            else:
+                h, w = (int(x) for x in g.split("x"))
+                ns, sp, npts = None, (h, w), h * w
+            Be, Te = e.get("batch", 1), e.get("seq", 15)
+            sh_np = tuple(
+                np.zeros((Be, t, c, *sp), np.float32)
+                for t, c in ((1, Cc), (Te, Cp), (Te, Cq), (Te - 1, Cq)))
+            cdt = "bfloat16" if key.endswith("@bf16") else None
+            try:
+                with jax.default_device(cpu):
+                    model = build(e["family"], e["width"],
+                                  sp[-2], sp[-1], Cc, Cp, Cq, ns)
+                trips = Te if e["family"].startswith(("convlstm", "distana")) \
+                    else Te - model.context_size
+                f = step_flops(model, sh_np, cpu, cdt, trips)
+            except Exception as exc:
+                print(f"{key}: backfill FAILED {type(exc).__name__}: {exc}",
+                      flush=True)
+                continue
+            if f:
+                e["flops_per_step"] = f
+                e["achieved_tflops"] = round(f / e["step_s"] / 1e12, 3)
+                print(f"{key}: {f/1e9:.2f} GFLOP/step -> "
+                      f"{e['achieved_tflops']:.3f} TFLOP/s", flush=True)
+                with open(args.out, "w") as fh:
+                    json.dump(results, fh, indent=1, sort_keys=True)
+        print(f"-> {args.out}")
+        return
+
     for family in args.families.split(","):
         rungs = args.rungs.split(",") if args.rungs else FAMILY_RUNGS[family]
         for rung in rungs:
@@ -379,6 +455,21 @@ def main(argv=None):
                 step_s, compile_s, mem = measure(
                     model, (const_np, pres_np, prog_np, tgt_np), dev, cpu,
                     compute_dtype=args.compute_dtype, rollout_trips=trips)
+                if ("flops_per_step" not in mem and not args.no_flops
+                        and cpu is not None):
+                    # the relay compiler hides cost_analysis: lower the
+                    # same program on the host CPU backend instead
+                    try:
+                        f = step_flops(
+                            model, (const_np, pres_np, prog_np, tgt_np),
+                            cpu, args.compute_dtype, trips)
+                        if f:
+                            mem["flops_per_step"] = f
+                            mem["achieved_tflops"] = round(
+                                f / step_s / 1e12, 3)
+                    except Exception as exc:
+                        print(f"  [warn] flops lowering failed: {exc}",
+                              flush=True)
                 epoch_s = step_s * WINDOWS_PER_EPOCH_2014 / B
                 results[key] = {
                     "family": family, "rung": rung, "grid": grid_key,
