@@ -140,6 +140,18 @@ ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
     "leaky_relu": lambda x: nn.leaky_relu(x, negative_slope=0.1),
     "elu": nn.elu,
     "gelu_erf": lambda x: nn.gelu(x, approximate=False),
+    # torch-module equivalents reachable through config specs — exact
+    # functions, so an unknown name can refuse loudly instead of a
+    # substring match silently substituting different math
+    "selu": jax.nn.selu,
+    "relu6": jax.nn.relu6,
+    "celu": jax.nn.celu,
+    "softplus": jax.nn.softplus,
+    "softsign": jax.nn.soft_sign,
+    "hardtanh": lambda x: jnp.clip(x, -1.0, 1.0),
+    "hardswish": jax.nn.hard_swish,
+    "hardsigmoid": jax.nn.hard_sigmoid,
+    "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
 }
 
 
@@ -156,20 +168,22 @@ _TORCH_PARAM_CLASSES: dict[str, tuple[Callable, float]] = {
 def get_activation(name) -> Callable[[jax.Array], jax.Array]:
     if callable(name):
         return name
-    key = str(name).lower()
+    key = str(name).lower().strip()
     if key in ACTIVATIONS:  # exact name first ("gelu_exact" vs "gelu")
         return ACTIVATIONS[key]
     # Reference-style torch specs like "torch.nn.GELU()" are eval()ed as
     # torch modules by the reference (`unet.py` configs), so parse them as
     # a constructor call: exact class name + arguments.  The first numeric
     # argument parameterizes LeakyReLU/ELU/CELU ("inplace=True" and other
-    # non-numeric kwargs are ignored, as they don't change the math);
-    # unknown parameterized classes raise rather than silently
-    # substituting a different function.
-    call = re.fullmatch(r"\s*([a-z_][\w.]*)\s*\((.*)\)\s*", key)
+    # non-numeric kwargs are ignored, as they don't change the math).
+    # Matching is EXACT on the normalized class name — an unknown name
+    # (SELU before it was added, Softshrink, ...) raises instead of
+    # silently substituting a mathematically different function.
+    call = re.fullmatch(r"([a-z_][\w.]*)\s*\((.*)\)", key)
+    cls = (call.group(1) if call else key)
+    cls = cls.rsplit(".", 1)[-1].replace("_", "").strip()
+    val = None
     if call:
-        cls = call.group(1).rsplit(".", 1)[-1].replace("_", "")
-        val = None
         for part in call.group(2).split(","):
             part = part.strip()
             if not part or part.startswith("inplace"):
@@ -188,13 +202,7 @@ def get_activation(name) -> Callable[[jax.Array], jax.Array]:
             raise ValueError(
                 f"activation {name!r} has a numeric argument but "
                 f"{cls!r} is not a known parameterized activation")
-        for k in sorted(ACTIVATIONS, key=len, reverse=True):
-            if k.replace("_", "") == cls or k.replace("_", "") in cls:
-                return ACTIVATIONS[k]
-        raise ValueError(f"unknown activation {name!r}")
-    # name-only specs: try the most specific (longest) names first so
-    # "leakyrelu" != "relu"
-    for k in sorted(ACTIVATIONS, key=len, reverse=True):
-        if k in key or k.replace("_", "") in key.replace("_", ""):
-            return ACTIVATIONS[k]
+    by_norm = {k.replace("_", ""): v for k, v in ACTIVATIONS.items()}
+    if cls in by_norm:
+        return by_norm[cls]
     raise ValueError(f"unknown activation {name!r}")

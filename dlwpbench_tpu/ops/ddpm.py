@@ -107,5 +107,11 @@ def step(
 
     var = jnp.clip(beta_t * (1.0 - acp_prev) / (1.0 - acp_t), 1e-20, None)
     if noise is None:
-        noise = jax.random.normal(key, sample.shape, sample.dtype)
+        if key is None:
+            # no key: deterministic step (valid for the t==0 final step,
+            # where no noise is added; jnp.where evaluates both branches,
+            # so jax.random.normal(None, ...) would crash here otherwise)
+            noise = jnp.zeros_like(sample)
+        else:
+            noise = jax.random.normal(key, sample.shape, sample.dtype)
     return jnp.where(t > 0, mean + jnp.sqrt(var) * noise, mean)

@@ -661,7 +661,10 @@ def _packed_impl(qt, kt, vt, bias_t, mask_t, interpret=False):
         interpret = True
     BW, nh, D, N = qt.shape
     nW = bias_t.shape[0]
-    nLon = mask_t.shape[0]
+    nLon, mW = mask_t.shape[0], mask_t.shape[1]
+    if mW not in (1, nW):
+        raise ValueError(f"mask window axis {mW} must be 1 or match "
+                         f"bias nW={nW}")
     scale = D**-0.5
     kernel = functools.partial(_packed_attn_kernel, scale=scale, nh=nh)
     out, lse = pl.pallas_call(
@@ -678,11 +681,13 @@ def _packed_impl(qt, kt, vt, bias_t, mask_t, interpret=False):
             pl.BlockSpec(
                 (1, nh, N, N), lambda i: (jax.lax.rem(i, nW), 0, 0, 0)
             ),
+            # a size-1 mask axis (the default all-zero mask, or a mask
+            # shared across window types) must index 0, not w (OOB)
             pl.BlockSpec(
                 (1, 1, N, N),
                 lambda i: (
                     jax.lax.rem(jax.lax.div(i, nW), nLon),
-                    jax.lax.rem(i, nW), 0, 0,
+                    jax.lax.rem(i, nW) if mW == nW else 0, 0, 0,
                 ),
             ),
         ],
@@ -720,7 +725,7 @@ def _packed_bwd(interpret, res, g):
         interpret = True
     BW, nh, D, N = qt.shape
     nW = bias_t.shape[0]
-    nLon = mask_t.shape[0]
+    nLon, mW = mask_t.shape[0], mask_t.shape[1]
     B_ = BW // nW
     scale = D**-0.5
     do = _t(g)  # [BW, nh, D, N]
@@ -746,9 +751,11 @@ def _packed_bwd(interpret, res, g):
             pl.BlockSpec((1, 1, D, N), blk),      # k
             pl.BlockSpec((1, 1, D, N), blk),      # v
             pl.BlockSpec((1, 1, N, N), wh),       # bias (transposed)
+            # size-1 mask axes index 0 (default mask / shared mask)
             pl.BlockSpec(
                 (1, 1, N, N),
-                lambda w, h, j: (jax.lax.rem(j, nLon), w, 0, 0),
+                lambda w, h, j: (jax.lax.rem(j, nLon),
+                                 w if mW == nW else 0, 0, 0),
             ),
             pl.BlockSpec((1, 1, D, N), blk),      # dO
             pl.BlockSpec((1, 1, 1, N), blk),      # lse
@@ -765,8 +772,10 @@ def _packed_bwd(interpret, res, g):
     return (
         _t(dq), _t(dk), _t(dv),
         _t(dbias).astype(bias_t.dtype),
+        # constant mask: zero cotangent with the PRIMAL's shape (its own
+        # leading dims — the default mask is (1, 1, N, N), not (nLon, nW))
         jnp.zeros(
-            (nLon, nW) + mask_t.shape[2:][::-1], dtype=mask_t.dtype
+            mask_t.shape[:2] + mask_t.shape[2:][::-1], dtype=mask_t.dtype
         ),
     )
 

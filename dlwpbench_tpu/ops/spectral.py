@@ -107,6 +107,28 @@ def irfft2_matmul(
     )
 
 
+def _tucker_core_dims(dims: tuple[int, ...], rank: float) -> tuple[int, ...]:
+    """Core sizes for a float Tucker rank, matching tensorly's
+    `validate_tucker_rank` semantics (the rule neuraloperator's TFNO uses,
+    reference `models/fno/fno.py:38-47` with rank 0.8): pick one fraction f
+    so the factorized parameter count is ~`rank` x the dense tensor's,
+
+        prod(dims) * f^n  +  sum(d_i^2) * f  =  rank * prod(dims),
+
+    then core_dim_i = round(f * d_i).  (A plain per-dim `rank**0.5` rule
+    neither matches tensorly nor hits the parameter budget.)"""
+    n = len(dims)
+    prod = float(np.prod(dims))
+    coeffs = np.zeros(n + 1)
+    coeffs[0] = prod                      # f^n
+    coeffs[-2] = float(sum(d * d for d in dims))  # f^1
+    coeffs[-1] = -rank * prod             # f^0
+    roots = np.roots(coeffs)
+    real = roots[np.isreal(roots)].real
+    f = float(min(r for r in real if r > 0))
+    return tuple(max(1, int(round(f * d))) for d in dims)
+
+
 class SpectralConv2d(nn.Module):
     """FNO 2D Fourier layer on channels-last inputs [B, H, W, C].
 
@@ -142,13 +164,8 @@ class SpectralConv2d(nn.Module):
                     * jax.random.uniform(k, (Cin, Cout, m1, m2, 2)),
                 )
             # Tucker factorization: core [r0,r1,r2,r3] + factors per dim.
-            rank = self.tucker_rank
             dims = (Cin, Cout, m1, m2)
-            # tensorly `validate_tucker_rank` with a float rank picks core
-            # sizes so the compression ratio ~= rank; a faithful simple rule
-            # is ceil(rank**(1/4) ... ) — we use per-dim fraction which is
-            # tensorly's behavior for float rank applied per mode.
-            core_dims = tuple(max(1, int(round(d * rank ** 0.5))) for d in dims)
+            core_dims = _tucker_core_dims(dims, self.tucker_rank)
             core = self.param(
                 f"{name}_core",
                 lambda k: scale * jax.random.normal(k, (*core_dims, 2)),

@@ -41,6 +41,10 @@ class GraphPartition(NamedTuple):
     edge_src_local: np.ndarray  # [P, Emax] index into [local || recv buckets]
     edge_dst_local: np.ndarray  # [P, Emax] index into local dst nodes
     edge_mask: np.ndarray  # [P, Emax] bool
+    edge_ids: np.ndarray  # [P, Emax] GLOBAL edge id per rank-slot (pad 0):
+    # the single source of truth for per-rank edge order — consumers
+    # permuting global per-edge data (features, weights) must index with
+    # this, never re-derive the order
     send_idx: np.ndarray  # [P, P, Smax] local src indices rank i sends to j
     send_mask: np.ndarray  # [P, P, Smax] bool
     src_chunk: int  # src nodes per rank (padded)
@@ -101,6 +105,7 @@ def partition_graph_nodewise(
     edge_src_local = np.zeros((P, e_max), np.int32)
     edge_dst_local = np.zeros((P, e_max), np.int32)
     edge_mask = np.zeros((P, e_max), bool)
+    edge_ids = np.zeros((P, e_max), np.int64)
     for j in range(P):
         e = per_rank[j]
         s, d = src[e], dst[e]
@@ -120,6 +125,7 @@ def partition_graph_nodewise(
         edge_src_local[j, : len(e)] = local_addr
         edge_dst_local[j, : len(e)] = d - j * dst_chunk
         edge_mask[j, : len(e)] = True
+        edge_ids[j, : len(e)] = e
 
     return GraphPartition(
         n_parts=P,
@@ -128,6 +134,7 @@ def partition_graph_nodewise(
         edge_src_local=edge_src_local,
         edge_dst_local=edge_dst_local,
         edge_mask=edge_mask,
+        edge_ids=edge_ids,
         send_idx=send_idx,
         send_mask=send_mask,
         src_chunk=src_chunk,
@@ -140,21 +147,29 @@ def partition_graph_nodewise(
 def gather_src_features(
     part: GraphPartition, src_feat_local: jax.Array, axis_name: str
 ) -> jax.Array:
-    """Inside shard_map: local src features [src_chunk, F] -> address space
-    [src_chunk + P*s_max, F] = [own || received buckets]."""
-    P = part.n_parts
+    """Inside shard_map: local src features [..., src_chunk, F] -> address
+    space [..., src_chunk + P*s_max, F] = [own || received buckets].
+    Supports arbitrary leading (batch) dims; the all_to_all is one bucket
+    exchange regardless (slot j of my outgoing goes to rank j; I receive
+    rank i's bucket at slot i)."""
+    p = part.n_parts
     r = lax.axis_index(axis_name)
     send_idx = jnp.asarray(part.send_idx)[r]  # [P, Smax]
-    send_mask = jnp.asarray(part.send_mask)[r][..., None]
-    outgoing = src_feat_local[send_idx] * send_mask  # [P, Smax, F]
-    # all_to_all: slot j of my outgoing goes to rank j; I receive bucket from
-    # every rank i at slot i.
-    received = lax.all_to_all(
-        outgoing, axis_name, split_axis=0, concat_axis=0, tiled=True
-    )  # [P, Smax, F]
-    return jnp.concatenate(
-        [src_feat_local, received.reshape(P * part.s_max, -1)], axis=0
+    send_mask = jnp.asarray(part.send_mask)[r][..., None]  # [P, Smax, 1]
+    out = jnp.take(src_feat_local, send_idx.reshape(-1), axis=-2)
+    out = out.reshape(
+        *src_feat_local.shape[:-2], p, part.s_max, src_feat_local.shape[-1]
     )
+    out = out * send_mask
+    bucket_ax = out.ndim - 3
+    recv = lax.all_to_all(
+        out, axis_name, split_axis=bucket_ax, concat_axis=bucket_ax,
+        tiled=True,
+    )
+    recv = recv.reshape(
+        *src_feat_local.shape[:-2], p * part.s_max, src_feat_local.shape[-1]
+    )
+    return jnp.concatenate([src_feat_local, recv], axis=-2)
 
 
 def partitioned_message_passing(

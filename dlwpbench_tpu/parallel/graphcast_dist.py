@@ -31,6 +31,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from dlwpbench_tpu.parallel.graph_partition import (
     GraphPartition,
+    gather_src_features,
     partition_graph_nodewise,
 )
 
@@ -63,15 +64,10 @@ def build_processor_plan(
     """
     n_src = n_nodes if n_src is None else n_src
     part = partition_graph_nodewise(src, dst, n_src, n_nodes, n_parts)
-    dst = np.asarray(dst, np.int64)
-    e_perm = np.zeros((n_parts, part.n_edges_max), np.int64)
-    for r in range(n_parts):
-        # must match partition_graph_nodewise's per-rank edge order
-        e_ids = np.nonzero((dst // part.dst_chunk) == r)[0]
-        e_perm[r, : len(e_ids)] = e_ids
     return ProcessorPlan(
         part=part,
-        e_perm=e_perm.reshape(-1),
+        # the partition's own per-rank edge order (single source of truth)
+        e_perm=part.edge_ids.reshape(-1),
         n_nodes=n_nodes,
         n_nodes_padded=n_parts * part.dst_chunk,
         n_edges_padded=n_parts * part.n_edges_max,
@@ -80,27 +76,9 @@ def build_processor_plan(
     )
 
 
-def _gather_src_batched(
-    part: GraphPartition, nf_local: jax.Array, axis_name: str
-) -> jax.Array:
-    """[..., chunk, F] local nodes -> [..., chunk + P*Smax, F] address space
-    (own chunk || per-sender received buckets), batched version of
-    `graph_partition.gather_src_features`."""
-    p = part.n_parts
-    r = lax.axis_index(axis_name)
-    send_idx = jnp.asarray(part.send_idx)[r]  # [P, Smax]
-    send_mask = jnp.asarray(part.send_mask)[r][..., None]  # [P, Smax, 1]
-    out = jnp.take(nf_local, send_idx.reshape(-1), axis=-2)
-    out = out.reshape(*nf_local.shape[:-2], p, part.s_max, nf_local.shape[-1])
-    out = out * send_mask
-    bucket_ax = out.ndim - 3
-    recv = lax.all_to_all(
-        out, axis_name, split_axis=bucket_ax, concat_axis=bucket_ax, tiled=True
-    )
-    recv = recv.reshape(
-        *nf_local.shape[:-2], p * part.s_max, nf_local.shape[-1]
-    )
-    return jnp.concatenate([nf_local, recv], axis=-2)
+# batched bucket-gather/all_to_all/concat: one implementation of the
+# address-space protocol, shared with partitioned_message_passing
+_gather_src_batched = gather_src_features
 
 
 def _edge_ends_local(

@@ -49,5 +49,7 @@ def sharded_cylinder_pad(x: jax.Array, padding: int, axis_name: str) -> jax.Arra
     """Distributed CylinderPad: circular in longitude (local), halo-exchange
     + zero poles in latitude (across shards)."""
     p = padding
+    if p == 0:  # match ops.padding.cylinder_pad (x[..., -0:] would be all of W)
+        return x
     x = jnp.concatenate([x[..., -p:], x, x[..., :p]], axis=-1)
     return halo_exchange_rows(x, p, axis_name)

@@ -41,14 +41,11 @@ def build_sharded_pad_plan(
     dst = np.repeat(np.arange(npad), 2)
     part = partition_graph_nodewise(src, dst, n_src, npad, n_parts)
 
-    # per-rank edge weights in partition order (same ordering rule as
-    # partition_graph_nodewise: edges sorted by dst chunk, original order)
+    # per-rank edge weights permuted by the partition's OWN edge order
+    # (part.edge_ids — never re-derive the ordering rule here)
     weights = w.reshape(-1)  # [2*npad]
-    ew = np.zeros((n_parts, part.n_edges_max, 1), np.float32)
-    for r in range(n_parts):
-        e_ids = np.nonzero((dst // part.dst_chunk) == r)[0]
-        ew[r, : len(e_ids), 0] = weights[e_ids]
-    return part, ew
+    ew = np.where(part.edge_mask, weights[part.edge_ids], 0.0)
+    return part, ew[..., None].astype(np.float32)
 
 
 def sharded_healpix_pad(

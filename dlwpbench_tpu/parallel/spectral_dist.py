@@ -100,15 +100,17 @@ def dist_afno_filter(
     # count (its quirk, reproduced).  The Wf padding tail is masked off.
     total_h = H // 2 + 1
     kept = int(total_h * hard_thresholding_fraction)
-    row = jnp.arange(H)
-    row_keep = (row >= total_h - kept) & (row < min(total_h + kept, H))
+    r0, r1 = total_h - kept, min(total_h + kept, H)
     col = idx * wf_loc + jnp.arange(wf_loc)
     col_keep = col < kept
-    mask = row_keep[:, None] & col_keep[None, :]
 
-    # [..., C, H, wf] -> [..., H, wf, nb, bs]
+    # [..., C, H, wf] -> [..., H, wf, nb, bs]; the row band is static, so
+    # slice BEFORE the block-MLP (the filter's dominant cost) like the
+    # single-device layer does — only the column mask depends on the
+    # traced shard index
     Z = jnp.moveaxis(Xf, -3, -1)
     Z = Z.reshape(*Z.shape[:-1], nb, bs)
+    Z = Z[..., r0:r1, :, :, :]
 
     def cmlp(zr, zi):
         o1r = jnp.einsum("...ni,nio->...no", zr, w1[0]) - jnp.einsum(
@@ -128,10 +130,12 @@ def dist_afno_filter(
 
     yr, yi = cmlp(Z.real, Z.imag)
     lam = sparsity_threshold
-    y = softshrink(yr, lam) + 1j * softshrink(yi, lam)
-    y = y.reshape(*y.shape[:-2], C)
+    yb = softshrink(yr, lam) + 1j * softshrink(yi, lam)
+    yb = yb.reshape(*yb.shape[:-2], C)            # [..., rows, wf, C]
+    yb = jnp.where(col_keep[:, None], yb, 0.0)
+    y = jnp.zeros((*yb.shape[:-3], H, wf_loc, C), yb.dtype)
+    y = y.at[..., r0:r1, :, :].set(yb)
     y = jnp.moveaxis(y, -1, -3)  # [..., C, H, wf]
-    y = jnp.where(mask, y, 0.0)
 
     out = dist_irfft2(y * jnp.sqrt(H * W), axis_name, W)  # undo ortho scale
     return jnp.moveaxis(out, -3, -1)

@@ -219,6 +219,20 @@ class TestSpectralOps:
         n_tuck = sum(v.size for v in jax.tree.leaves(tuck.init(jax.random.PRNGKey(0), x)))
         assert n_tuck < n_full
 
+    def test_tucker_rank_is_parameter_ratio(self):
+        """Float Tucker rank follows tensorly's `validate_tucker_rank`
+        semantics (what neuraloperator's TFNO means by rank=0.8): the
+        factorized parameter count is ~rank x the dense tensor's, not a
+        per-dim rank**0.5 shrink."""
+        from dlwpbench_tpu.ops.spectral import _tucker_core_dims
+
+        for dims, rank in [((64, 64, 12, 12), 0.8), ((64, 64, 12, 12), 0.25),
+                           ((128, 128, 12, 7), 0.8)]:
+            cd = _tucker_core_dims(dims, rank)
+            dense = float(np.prod(dims))
+            fact = float(np.prod(cd)) + sum(c * d for c, d in zip(cd, dims))
+            assert abs(fact / dense - rank) < 0.12 * rank + 0.02, (dims, rank, cd)
+
 
 class TestSFNO:
     def test_sfno_shapes(self):
@@ -677,3 +691,16 @@ class TestActivationFactory:
             get_activation("torch.nn.Softplus(2.0)")
         with pytest.raises(ValueError):
             get_activation("torch.nn.PReLU(num_parameters=3)")
+        # exact-name matching: SELU is real SELU (scale*alpha*(e^x-1)),
+        # ReLU6 clamps at 6, Hardtanh clamps at +-1 — none of these may
+        # fall back to a substring cousin (elu/relu/tanh)
+        assert float(get_activation("torch.nn.SELU()")(jnp.asarray(-2.0))
+                     ) == pytest.approx(1.0507 * 1.67326 * (np.exp(-2) - 1),
+                                        rel=1e-4)
+        assert float(get_activation("relu6")(jnp.asarray(8.0))) == 6.0
+        assert float(get_activation("torch.nn.Hardtanh()")(jnp.asarray(3.0))
+                     ) == 1.0
+        with pytest.raises(ValueError):
+            get_activation("torch.nn.Softshrink()")
+        with pytest.raises(ValueError):
+            get_activation("reluish")

@@ -309,6 +309,37 @@ class TestPackedWindowAttention:
                 err_msg=f"d{name}",
             )
 
+    def test_gradients_no_mask_grouped_bias(self):
+        """mask=None with grouped bias (nW > 1) — the default path Swin
+        and Pangu's unshifted blocks take.  Regression: the backward used
+        to emit a (nLon, nW, N, N) mask cotangent against the (1, 1, N, N)
+        default-mask primal (shape-mismatch ValueError under jax.grad),
+        and the mask index maps read out of bounds on the size-1 axis."""
+        from dlwpbench_tpu.ops.pallas_attention import packed_window_attention
+
+        nW, nh, N, D = 3, 2, 16, 8
+        BW = 2 * nW
+        q, k, v, bias, _ = self._rand(BW, nh, N, D, nW, 1, seed=11)
+        zero = jnp.zeros((1, 1, N, N), jnp.float32)
+        proj = jnp.cos(jnp.arange(D, dtype=jnp.float32))
+
+        def loss_packed(q, k, v, bias):
+            return (
+                packed_window_attention(q, k, v, bias, None, interpret=True)
+                * proj
+            ).sum()
+
+        def loss_ref(q, k, v, bias):
+            return (_packed_oracle(q, k, v, bias, zero) * proj).sum()
+
+        g1 = jax.grad(loss_packed, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(q, k, v, bias)
+        for name, a, b in zip(("q", "k", "v", "bias"), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name}",
+            )
+
     def test_pangu_model_packed_matches_einsum(self):
         """PanguWeather forced onto the packed kernel reproduces the einsum
         path through full rollout steps (shifted + unshifted blocks)."""
