@@ -100,6 +100,11 @@ def main(argv=None):
         "batch 1).  Reference GPU values from `plot_results.py:487-545`.",
         "Memory is XLA's compiled allocation plan (args+temps+outputs) —",
         "the relay runtime does not expose live memory_stats.",
+        "TFLOP/s = XLA cost-model FLOPs of the remat train step (fwd + bwd",
+        "+ recompute + optimizer, scan bodies multiplied by trip count) /",
+        "measured step time; batch 1 is latency-bound, so these are far",
+        "below the chip's 197 TFLOP/s bf16 peak by protocol design (the",
+        "flagship bench at batch 128 reaches 55% MFU).",
         "",
     ]
     for fam in LABEL:
