@@ -172,21 +172,30 @@ def get_activation(name) -> Callable[[jax.Array], jax.Array]:
     if key in ACTIVATIONS:  # exact name first ("gelu_exact" vs "gelu")
         return ACTIVATIONS[key]
     # Reference-style torch specs like "torch.nn.GELU()" are eval()ed as
-    # torch modules by the reference (`unet.py` configs), so parse them as
-    # a constructor call: exact class name + arguments.  The first numeric
-    # argument parameterizes LeakyReLU/ELU/CELU ("inplace=True" and other
-    # non-numeric kwargs are ignored, as they don't change the math).
-    # Matching is EXACT on the normalized class name — an unknown name
-    # (SELU before it was added, Softshrink, ...) raises instead of
-    # silently substituting a mathematically different function.
+    # torch modules by the reference (`unet.py` configs), so any DOTTED
+    # module path gets exact torch semantics: erf GELU (not this
+    # framework's tanh-approx fast default, which bare "gelu" keeps),
+    # torch's LeakyReLU slope 0.01 (not the Modulus factory's 0.1, which
+    # bare "leaky_relu" keeps), first numeric argument honored
+    # ("inplace=True" and GELU's approximate= kwarg are parsed, other
+    # kwargs refuse).  Matching is EXACT on the normalized class name —
+    # an unknown name (Softshrink, ...) raises instead of silently
+    # substituting a mathematically different function.
     call = re.fullmatch(r"([a-z_][\w.]*)\s*\((.*)\)", key)
-    cls = (call.group(1) if call else key)
-    cls = cls.rsplit(".", 1)[-1].replace("_", "").strip()
+    head = call.group(1) if call else key
+    torchy = "." in head
+    cls = head.rsplit(".", 1)[-1].replace("_", "").strip()
     val = None
+    gelu_approx = False
     if call:
         for part in call.group(2).split(","):
             part = part.strip()
             if not part or part.startswith("inplace"):
+                continue
+            ap = re.fullmatch(r"approximate\s*=\s*['\"]?(none|tanh)['\"]?",
+                              part)
+            if ap and cls == "gelu":
+                gelu_approx = ap.group(1) == "tanh"
                 continue
             m = re.fullmatch(r"(?:\w+\s*=\s*)?([-+0-9.eE]+)", part)
             if m:
@@ -194,6 +203,7 @@ def get_activation(name) -> Callable[[jax.Array], jax.Array]:
                 break
             raise ValueError(f"unsupported activation argument {part!r} "
                              f"in {name!r}")
+    if torchy or call:
         if cls in _TORCH_PARAM_CLASSES:
             fn, default = _TORCH_PARAM_CLASSES[cls]
             v = default if val is None else val
@@ -202,6 +212,8 @@ def get_activation(name) -> Callable[[jax.Array], jax.Array]:
             raise ValueError(
                 f"activation {name!r} has a numeric argument but "
                 f"{cls!r} is not a known parameterized activation")
+    if torchy and cls == "gelu":
+        return ACTIVATIONS["gelu" if gelu_approx else "gelu_exact"]
     by_norm = {k.replace("_", ""): v for k, v in ACTIVATIONS.items()}
     if cls in by_norm:
         return by_norm[cls]

@@ -88,7 +88,12 @@ def step(
     """One reverse-diffusion step (DDPM ancestral sampling, v-prediction,
     clip_sample=False).  `t` is a scalar timestep; adds noise unless t==0.
     Pass `noise` explicitly (e.g. for cross-framework parity tests) to skip
-    the internal `jax.random.normal` draw."""
+    the internal `jax.random.normal` draw.
+
+    WARNING: key=None (with noise=None) yields the posterior MEAN — no
+    noise is added at ANY t.  That is only correct for the final t==0
+    step (t is traced, so it cannot be checked here); ancestral sampling
+    at t>0 requires a key, or the chain silently variance-collapses."""
     ndim = sample.ndim
     acp_t = _extract(sched.alphas_cumprod, t, ndim)
     acp_prev = jnp.where(

@@ -137,11 +137,11 @@ class SpectralConv2d(nn.Module):
     mixes channels with complex weights per mode.
 
     `tucker_rank`: if set (fraction in (0, 1]), the complex weight tensor
-    [Cin, Cout, m1, m2] is Tucker-factorized (core + 4 factor matrices, as in
-    neuraloperator's TFNO with tensorly) with per-dim core sizes
-    ceil(rank_factor * dim); the full weight is reconstructed by einsum at
-    call time (negligible cost at FNO mode counts, keeps the contraction on
-    the MXU).
+    [Cin, Cout, m1, m2] is Tucker-factorized (core + 4 factor matrices, as
+    in neuraloperator's TFNO with tensorly); core sizes follow tensorly's
+    float-rank parameter-budget rule (see `_tucker_core_dims`: factorized
+    params ~= rank x the dense tensor's).  The contraction runs THROUGH
+    the factors at call time — the dense weight is never materialized.
     """
 
     out_channels: int

@@ -682,9 +682,26 @@ class TestActivationFactory:
         assert float(get_activation("torch.nn.CELU(0.3)")(jnp.asarray(-1.0))
                      ) == pytest.approx(0.3 * (np.exp(-1 / 0.3) - 1.0), rel=1e-5)
         # argless torch specs take the TORCH default (the reference eval()s
-        # the spec as a torch module), not the Modulus-factory default
+        # the spec as a torch module), not the Modulus-factory default —
+        # with or without the parentheses
         assert float(get_activation("torch.nn.LeakyReLU()")(jnp.asarray(-1.0))
                      ) == pytest.approx(-0.01)
+        assert float(get_activation("torch.nn.LeakyReLU")(jnp.asarray(-1.0))
+                     ) == pytest.approx(-0.01)
+        # torch GELU is the exact erf form; the tanh approximation is this
+        # framework's fast default only for the bare name (or explicit
+        # approximate='tanh')
+        x0 = jnp.asarray(-1.5)
+        import scipy.special as sps
+        erf_gelu = -1.5 * 0.5 * (1 + sps.erf(-1.5 / np.sqrt(2)))
+        assert float(get_activation("torch.nn.GELU()")(x0)) == pytest.approx(
+            erf_gelu, rel=1e-6)
+        assert float(get_activation("th.nn.GELU() ")(x0)) == pytest.approx(
+            erf_gelu, rel=1e-6)
+        tanh_gelu = float(get_activation("gelu")(x0))
+        assert float(get_activation("torch.nn.GELU(approximate='tanh')")(x0)
+                     ) == pytest.approx(tanh_gelu, rel=1e-6)
+        assert tanh_gelu != pytest.approx(erf_gelu, rel=1e-5)
         # unknown parameterized classes fail loudly instead of silently
         # routing to a different function
         with pytest.raises(ValueError):
