@@ -53,13 +53,36 @@ def rollout_dataset(model, params, dataset, batch_size: int = 8):
     )
 
 
-def denormalize(arr: np.ndarray, stats: dict, var_names: list[str]) -> np.ndarray:
-    """Per-channel de-normalization ([..., C, ...] channel axis=2)."""
+def prognostic_channel_names(data_cfg: dict, n_channels: int) -> list[str]:
+    """Channel names in dataset order (reference writes per-variable files,
+    `evaluate.py:320-416`): WeatherBench configs expand
+    `prognostic_variable_names_and_levels` to e.g. z500/t850; other sources
+    fall back to var{i}."""
+    spec = data_cfg.get("prognostic_variable_names_and_levels")
+    if spec:
+        names = []
+        for v, levels in spec.items():
+            names += [f"{v}{lv}" for lv in levels] if levels else [v]
+        if len(names) == n_channels:
+            return names
+    return [f"var{i}" for i in range(n_channels)]
+
+
+def denormalize(
+    arr: np.ndarray, stats: dict, var_names: list[str], channel_axis: int = 2
+) -> np.ndarray:
+    """Per-channel de-normalization (reference `evaluate.py:280-296`:
+    outputs/targets must be back in PHYSICAL units before metrics).  Falls
+    back to the single group statistic when a name is missing (synthetic /
+    Navier-Stokes sources normalize the whole prognostic group at once)."""
     out = arr.copy()
+    group = next(iter(stats.values())) if len(stats) == 1 else None
+    idx = [slice(None)] * arr.ndim
     for i, name in enumerate(var_names):
-        st = stats.get(name)
+        st = stats.get(name, group)
         if st is not None:
-            out[:, :, i] = out[:, :, i] * st.std + st.mean
+            idx[channel_axis] = i
+            out[tuple(idx)] = out[tuple(idx)] * st.std + st.mean
     return out
 
 
@@ -139,14 +162,27 @@ def _write_netcdf_or_npz(out_dir, name, per_var: dict, var_names):
 def write_forecast_files(out_dir, inits, outputs, targets, var_names, lats, lons):
     """inits/outputs/targets -> netcdf (reference `evaluate.py:306-416`)."""
     os.makedirs(out_dir, exist_ok=True)
+    # validate OUTSIDE the try (whose except is the no-xarray npz fallback
+    # and must not swallow shape errors): lat-lon only — HEALPix arrays
+    # must be remapped before writing, or the dims would be mislabeled
+    for arr, tdim in ((inits, False), (outputs, True), (targets, True)):
+        want = 5 if tdim else 4  # [S, (T,), C, H, W]
+        if arr.ndim != want:
+            raise ValueError(
+                f"expected {want}-D lat-lon array "
+                f"({'with' if tdim else 'no'} time dim), got shape "
+                f"{arr.shape}; remap HEALPix output before writing"
+            )
     try:
         import xarray as xr
 
         def mk(arr, tdim):
             data_vars = {}
             for i, v in enumerate(var_names):
-                if arr.ndim == 5:
-                    data_vars[v] = (("sample", "time", "lat", "lon"), arr[:, :, i])
+                if tdim:
+                    data_vars[v] = (
+                        ("sample", "time", "lat", "lon"), arr[:, :, i]
+                    )
                 else:
                     data_vars[v] = (("sample", "lat", "lon"), arr[:, i])
             return xr.Dataset(

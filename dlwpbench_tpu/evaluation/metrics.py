@@ -90,7 +90,9 @@ def rmse_months_11_12(
     when the rollout is shorter than 334 days.
     """
     T = outputs.shape[1]
-    lead_h = np.arange(T) * float(timedelta_hours)
+    # the first forecast step has lead time dt, not 0 (reference builds
+    # coords with pd.timedelta_range(start=dt, ...), `evaluate.py:341`)
+    lead_h = (np.arange(T) + 1) * float(timedelta_hours)
     sel = (lead_h >= 334 * 24) & (lead_h <= 365 * 24)
     if not sel.any():
         return None

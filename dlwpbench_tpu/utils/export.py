@@ -87,9 +87,9 @@ def save_exported(path: str, exported, meta: dict | None = None) -> None:
 def load_exported(path: str):
     """Load an artifact -> (callable(const, pres, prog), meta dict).
 
-    The callable runs the serialized computation; absent input groups must
-    be passed exactly as at export time (i.e. None was never an input —
-    export with the groups you serve with).
+    The callable runs the serialized computation; pass inputs with the
+    same structure as at export time — absent groups (exported as None,
+    e.g. navier_stokes has no constants/prescribed) are passed as None.
     """
     from jax import export as jexport
 
@@ -103,7 +103,10 @@ def load_exported(path: str):
     exported = jexport.deserialize(blob)
 
     def run(*args):
-        return exported.call(*[a for a in args if a is not None])
+        # pass args through VERBATIM (including None): the serialized
+        # in_tree contains the None leaves groups exported without — the
+        # call must have the same pytree structure as at export time
+        return exported.call(*args)
 
     return run, meta
 

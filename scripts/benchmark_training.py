@@ -15,7 +15,6 @@ import argparse
 import json
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -29,18 +28,20 @@ def main(argv=None):
     ap.add_argument("--models", default="unet,modernunet,fno2d,fourcastnet,sfno2d")
     ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--seq", type=int, default=15)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (cpu for relay-less smoke)")
     args = ap.parse_args(argv)
 
     import jax
-    import jax.numpy as jnp
-    import optax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     import dlwpbench_tpu
 
     dlwpbench_tpu.enable_compile_cache()
+    from benchmark_ladder import measure
     from benchmark_models import model_zoo
-
-    from dlwpbench_tpu.training.losses import mse_loss
 
     B = args.batch
     T = args.seq
@@ -56,71 +57,32 @@ def main(argv=None):
     dev = jax.devices()[0]
 
     r = np.random.default_rng(0)
-    const = jnp.asarray(r.standard_normal((B, 1, Cc, H, W)), jnp.float32)
-    pres = jnp.asarray(r.standard_normal((B, T, Cp, H, W)), jnp.float32)
-    prog = jnp.asarray(r.standard_normal((B, T, Cq, H, W)), jnp.float32)
-    target = jnp.asarray(
-        r.standard_normal((B, T - 1, Cq, H, W)), jnp.float32
+    shapes_np = (
+        r.standard_normal((B, 1, Cc, H, W)).astype(np.float32),
+        r.standard_normal((B, T, Cp, H, W)).astype(np.float32),
+        r.standard_normal((B, T, Cq, H, W)).astype(np.float32),
+        r.standard_normal((B, T - 1, Cq, H, W)).astype(np.float32),
     )
 
     results = {}
     for name, model in zoo.items():
         try:
-            # remat keeps the backward program small (the remote compiler
-            # crashes on full 14-step backward graphs for the larger nets)
-            if hasattr(model, "remat"):
-                model = model.clone(remat=True)
-            tgt = target[:, : T - model.context_size]
-            if cpu is not None:
-                with jax.default_device(cpu):
-                    params = jax.jit(model.init)(
-                        jax.random.PRNGKey(0), const, pres, prog
-                    )
-            else:
-                params = jax.jit(model.init)(jax.random.PRNGKey(0), const, pres, prog)
-            n_params = sum(int(x.size) for x in jax.tree.leaves(params))
-            tx = optax.adamw(1e-3, weight_decay=1e-5)
-            opt_state = tx.init(params)
-            p2, o2, c2, pr2, pg2, t2 = jax.device_put(
-                (params, opt_state, const, pres, prog, tgt), dev
+            # one shared harness with the ladder (`benchmark_ladder.measure`):
+            # chained remat train steps (fwd + bwd + AdamW), relay-latency
+            # amortized, plus XLA plan memory and cost-model FLOPs
+            trips = T if name.startswith(("convlstm", "distana")) \
+                else T - model.context_size
+            n_params = sum(
+                int(np.prod(a.shape))
+                for a in jax.tree.leaves(jax.eval_shape(
+                    model.init, jax.random.PRNGKey(0),
+                    *(jax.ShapeDtypeStruct(s.shape, s.dtype)
+                      for s in shapes_np[:3])))
             )
-
-            REPEATS = 4
-
-            @jax.jit
-            def chained(p, o, c, pr, pg, t):
-                def body(carry, _):
-                    p, o = carry
-
-                    def loss_fn(pp):
-                        return mse_loss(model.apply(pp, c, pr, pg), t)
-
-                    loss, grads = jax.value_and_grad(loss_fn)(p)
-                    updates, o2_ = tx.update(grads, o, p)
-                    return (optax.apply_updates(p, updates), o2_), loss
-
-                (p, o), losses = jax.lax.scan(body, (p, o), None, length=REPEATS)
-                return losses.sum()
-
-            t0 = time.perf_counter()
-            float(chained(p2, o2, c2, pr2, pg2, t2))
-            compile_s = time.perf_counter() - t0
-            times = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                float(chained(p2, o2, c2, pr2, pg2, t2))
-                times.append((time.perf_counter() - t0) / REPEATS)
-            dt = float(np.median(times))
+            dt, compile_s, mem = measure(
+                model, shapes_np, dev, cpu, rollout_trips=trips
+            )
             epoch_s = dt * (WINDOWS_PER_EPOCH / B)
-            mem = {}
-            try:
-                stats = dev.memory_stats() or {}
-                mem = {
-                    "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
-                    "bytes_in_use": stats.get("bytes_in_use"),
-                }
-            except Exception:
-                pass
             results[name] = {
                 "params": n_params,
                 "train_step_s": round(dt, 4),
@@ -128,11 +90,11 @@ def main(argv=None):
                 "compile_s": round(compile_s, 1),
                 **mem,
             }
-            peak = mem.get("peak_bytes_in_use")
+            peak = mem.get("peak_mb") or mem.get("xla_plan_mb")
             print(
                 f"{name:12s} {n_params/1e6:6.2f}M  step {dt*1e3:7.1f} ms "
                 f"(batch {B})  ~{epoch_s:7.1f} s/epoch"
-                + (f"  peak {peak/1e6:.0f} MB" if peak else ""),
+                + (f"  mem {peak:.0f} MB" if peak else ""),
                 flush=True,
             )
         except Exception as e:

@@ -24,7 +24,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("-c", "--configuration-dir", required=True)
     ap.add_argument("--sequence-length", type=int, default=17)
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (cpu for relay-less runs; "
+                         "the image clobbers JAX_PLATFORMS)")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     import dlwpbench_tpu
 
@@ -52,6 +60,13 @@ def main(argv=None):
     targets = np.concatenate(targets)
     n_steps = targets.shape[1]
 
+    var_names = E.prognostic_channel_names(cfg.data, targets.shape[2])
+    # baselines and metrics live in PHYSICAL units like model evaluations
+    # (reference works denormalized, `evaluate.py:280-296`)
+    if stats and bool(cfg.data.get("normalize", True)):
+        inits = E.denormalize(inits, stats, var_names, channel_axis=1)
+        targets = E.denormalize(targets, stats, var_names)
+
     # persistence
     pers = persistence_forecast(inits, n_steps)
     # "climatology": mean state of the train split per channel (the monthly
@@ -63,19 +78,35 @@ def main(argv=None):
         clim_state = clim_state + prog.mean(axis=(0, 1)) * prog.shape[0]
         count += prog.shape[0]
     clim_state /= max(count, 1)
+    if stats and bool(cfg.data.get("normalize", True)):
+        clim_state = E.denormalize(
+            clim_state[None], stats, var_names, channel_axis=1
+        )[0]
     clim = np.broadcast_to(
         clim_state[None, None], (inits.shape[0], n_steps, *clim_state.shape)
     ).copy()
 
-    spatial = targets.shape[-2:]
-    dlat = 180 / spatial[0]
-    lats = np.linspace(-90 + dlat / 2, 90 - dlat / 2, spatial[0])
-    var_names = [f"var{i}" for i in range(targets.shape[2])]
+    # HEALPix runs: remap to lat-lon before metrics, exactly like model
+    # evaluation (scripts/evaluate.py; previously these were skipped and
+    # the np.savez below crashed on the never-created directory)
+    if targets.ndim == 6:
+        from dlwpbench_tpu.grids.remap import HEALPixRemap
+
+        nside = targets.shape[-1]
+        rm = HEALPixRemap(
+            int(cfg.data.get("height", 32)), int(cfg.data.get("width", 64)),
+            nside,
+        )
+        pers = np.asarray(rm.hpx2ll(pers))
+        clim = np.asarray(rm.hpx2ll(clim))
+        targets = np.asarray(rm.hpx2ll(targets))
+
+    from dlwpbench_tpu.grids.latlon import LatLonGrid
+
+    lats = LatLonGrid(*targets.shape[-2:]).lats
 
     results = {}
     for name, fc in [("persistence", pers), ("climatology", clim)]:
-        if fc.ndim == 6:  # HEALPix: flatten faces into lat via remap-free skip
-            continue
         out_dir = os.path.join("outputs", name, "evaluation")
         results[name] = E.compute_metrics(fc, targets, lats, var_names, out_dir)
         print(
@@ -83,10 +114,9 @@ def main(argv=None):
             np.round(results[name]["rmse"][var_names[0]], 4).tolist(),
         )
     # climatology forecast file for ACC computations (evaluate.py:806-821)
-    np.savez(
-        os.path.join("outputs", "climatology", "evaluation", "outputs.npz"),
-        outputs=clim,
-    )
+    clim_dir = os.path.join("outputs", "climatology", "evaluation")
+    os.makedirs(clim_dir, exist_ok=True)
+    np.savez(os.path.join(clim_dir, "outputs.npz"), outputs=clim)
     print("-> outputs/{persistence,climatology}/evaluation/")
 
 

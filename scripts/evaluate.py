@@ -57,7 +57,14 @@ def evaluate_run(run_dir: str, sequence_length: int, batch_size: int, video: boo
     )
     print(f"Rollout: {outputs.shape}")
 
-    var_names = [f"var{i}" for i in range(outputs.shape[2])]
+    var_names = E.prognostic_channel_names(cfg.data, outputs.shape[2])
+
+    # back to PHYSICAL units before remap/metrics/files (reference
+    # `evaluate.py:280-296`; rollout_dataset returns normalized units)
+    if stats and bool(cfg.data.get("normalize", True)):
+        outputs = E.denormalize(outputs, stats, var_names)
+        targets = E.denormalize(targets, stats, var_names)
+        inits = E.denormalize(inits, stats, var_names, channel_axis=1)
 
     # HEALPix -> lat-lon before metrics (`evaluate.py:298-304`)
     if outputs.ndim == 6:
@@ -69,10 +76,10 @@ def evaluate_run(run_dir: str, sequence_length: int, batch_size: int, video: boo
         targets = np.asarray(rm.hpx2ll(targets))
         inits = np.asarray(rm.hpx2ll(inits))
 
-    nlat, nlon = outputs.shape[-2:]
-    dlat = 180 / nlat
-    lats = np.linspace(-90 + dlat / 2, 90 - dlat / 2, nlat)
-    lons = np.linspace(0, 360, nlon, endpoint=False)
+    from dlwpbench_tpu.grids.latlon import LatLonGrid
+
+    grid = LatLonGrid(*outputs.shape[-2:])
+    lats, lons = grid.lats, grid.lons
 
     out_dir = os.path.join(run_dir, "evaluation")
     E.write_forecast_files(out_dir, inits, outputs, targets, var_names, lats, lons)
@@ -112,7 +119,15 @@ def main(argv=None):
     ap.add_argument("--sequence-length", type=int, default=17)
     ap.add_argument("--batch-size", type=int, default=8)
     ap.add_argument("--video", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (cpu for relay-less runs; "
+                         "the image clobbers JAX_PLATFORMS)")
     args = ap.parse_args(argv)
+
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     all_results = {}
     for run_dir in args.configuration_dir_list:

@@ -82,7 +82,9 @@ def main(argv=None):
         if "error" in e:
             continue
         if key.endswith("@bf16"):
-            bf16_rows.setdefault(e["family"], {})[e["rung"]] = e
+            # bucket by (family, grid): the fp32 partner must come from
+            # the SAME grid or the gain column pairs different problems
+            bf16_rows.setdefault((e["family"], e["grid"]), {})[e["rung"]] = e
         elif e["grid"] == args.grid:
             fam_rows.setdefault(e["family"], {})[e["rung"]] = e
         else:
@@ -136,17 +138,19 @@ def main(argv=None):
 
     if bf16_rows:
         lines += ["## Mixed precision (bf16 compute, fp32 master params)", "",
-                  "| family | rung | params | step ms | fp32 step ms | gain |",
-                  "|---|---|---|---|---|---|"]
-        for fam, rows in sorted(bf16_rows.items()):
+                  "| family | rung | grid | params | step ms | fp32 step ms | gain |",
+                  "|---|---|---|---|---|---|---|"]
+        for (fam, grid), rows in sorted(bf16_rows.items()):
+            f32_rows = (fam_rows if grid == args.grid
+                        else extra_grids.get(grid, {})).get(fam, {})
             for rung in RUNG_ORDER:
                 e = rows.get(rung)
                 if e is None:
                     continue
-                f32 = fam_rows.get(fam, {}).get(rung, {}).get("step_s")
+                f32 = f32_rows.get(rung, {}).get("step_s")
                 gain = f"{f32 / e['step_s']:.2f}x" if f32 else ""
                 lines.append(
-                    f"| {fam} | {rung} | {e['params']/1e6:.2f}M "
+                    f"| {fam} | {rung} | {grid} | {e['params']/1e6:.2f}M "
                     f"| {e['step_s']*1e3:.1f} "
                     f"| {'' if not f32 else f'{f32*1e3:.1f}'} | {gain} |"
                 )

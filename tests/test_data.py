@@ -327,19 +327,26 @@ def test_synthetic_biweekly_test_inits():
 
 class TestYearLongSoundness:
     def test_rmse_months_11_12_selects_tail(self):
-        """Lead times in [334 d, 365 d] only (reference evaluate.py:864-872):
-        a divergence injected before day 334 must not affect the metric."""
+        """Lead times in [334 d, 365 d] only (reference evaluate.py:864-872,
+        first forecast step = lead dt per pd.timedelta_range(start=dt)): a
+        divergence injected before lead 334 d must not affect the metric."""
         import jax.numpy as jnp
 
         from dlwpbench_tpu.evaluation.metrics import rmse_months_11_12
 
-        T = 366  # daily steps, one year
+        T = 366  # daily steps, one year: index i has lead (i+1) days
         out = np.zeros((1, T, 4, 8), np.float32)
         tar = np.zeros((1, T, 4, 8), np.float32)
-        out[:, :334] = 100.0  # pre-window divergence: ignored
-        out[:, 334:] = 3.0  # constant offset inside the window
+        out[:, :333] = 100.0  # leads 1..333 d: before the window, ignored
+        out[:, 333:365] = 3.0  # leads 334..365 d: the window
+        out[:, 365:] = 100.0  # lead 366 d: after the window, ignored
         r = float(rmse_months_11_12(jnp.asarray(out), jnp.asarray(tar), 24.0))
         np.testing.assert_allclose(r, 3.0, rtol=1e-6)
+        # a rollout reaching exactly lead 334 d (T=334 daily steps) is long
+        # enough — the old 0-based lead labeling wrongly returned None
+        assert rmse_months_11_12(
+            jnp.asarray(out[:, :334]), jnp.asarray(tar[:, :334]), 24.0
+        ) is not None
 
     def test_rmse_months_11_12_short_rollout_none(self):
         import jax.numpy as jnp

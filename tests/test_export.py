@@ -48,6 +48,39 @@ class TestExportRoundtrip:
         got = np.asarray(run(const, pres, prog))
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
+    def test_export_absent_groups_served_as_none(self, tmp_path):
+        """Artifacts exported with const/pres absent (None specs — the
+        navier_stokes shape) must be callable by passing None through:
+        run() may not strip Nones (the serialized in_tree contains them)."""
+        import jax
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.models.unet import UNet
+        from dlwpbench_tpu.utils.export import (
+            export_rollout,
+            load_exported,
+            save_exported,
+        )
+
+        model = UNet(
+            constant_channels=0, prescribed_channels=0, prognostic_channels=2,
+            hidden_channels=(4, 8), context_size=1,
+        )
+        B, T, H, W = 1, 3, 16, 32
+        prog = jnp.asarray(np.random.default_rng(1).standard_normal(
+            (B, T, 2, H, W)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), None, None, prog)
+        want = np.asarray(model.apply(variables, None, None, prog))
+
+        exported = export_rollout(
+            model, variables["params"], None, None, prog.shape,
+        )
+        path = os.path.join(str(tmp_path), "ns_unet.stablehlo")
+        save_exported(path, exported, meta={"model": {"type": "UNet"}})
+        run, _ = load_exported(path)
+        got = np.asarray(run(None, None, prog))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
     def test_bad_magic_rejected(self, tmp_path):
         from dlwpbench_tpu.utils.export import load_exported
 
