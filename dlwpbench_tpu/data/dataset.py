@@ -83,7 +83,13 @@ class WindowedWeatherDataset:
 
     def __len__(self) -> int:
         if self.init_indices is None:
-            return (self.prognostic.shape[0] - self.sequence_length) // self.sequence_length
+            # max(0, .): a split shorter than one window has zero items
+            # (a negative value makes len() itself raise)
+            return max(
+                0,
+                (self.prognostic.shape[0] - self.sequence_length)
+                // self.sequence_length,
+            )
         return len(self.init_indices)
 
     def __getitem__(self, item: int):
@@ -99,6 +105,19 @@ class WindowedWeatherDataset:
             if self.prescribed is None
             else self.prescribed[start : start + seq]
         )
+        if pres is not None and pres.shape[0] < seq:
+            # long rollouts past the data end: continue the forcing by
+            # repeating the last frame so every window in a batch has the
+            # same length (the reference augments TISR from a fixed-year
+            # file instead, `datasets.py:354-369` — a data-source-level
+            # solution; sources can pass a longer prescribed series)
+            if pres.shape[0] == 0:
+                pres = np.zeros(
+                    (seq, *self.prescribed.shape[1:]), np.float32
+                )
+            else:
+                reps = np.repeat(pres[-1:], seq - pres.shape[0], axis=0)
+                pres = np.concatenate([pres, reps], axis=0)
         prog_full = self.prognostic[start : start + seq + 1]
         if prog_full.shape[0] < seq + 1:  # long rollouts past data end
             fill = np.zeros(

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import ctypes
 import os
+import platform
 import subprocess
 import threading
 
@@ -19,10 +20,34 @@ _SRC = os.path.join(
     "native",
     "window_batcher.cpp",
 )
-_SO = os.path.splitext(_SRC)[0] + ".so"
 _lock = threading.Lock()
 _lib = None
 _failed = False
+
+
+def _so_path(src: str) -> str:
+    """-march=native output keyed per machine arch: on a shared filesystem
+    another host must not dlopen instructions its CPU lacks."""
+    return f"{os.path.splitext(src)[0]}.{platform.machine()}.so"
+
+
+def _build(src: str, so: str, extra: list[str] = ()):  # noqa: B006
+    """Compile to a temp file then os.rename (atomic on POSIX): a process
+    must never dlopen a half-written .so from a concurrent builder (the
+    threading.Lock is per-process only)."""
+    if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(src):
+        return
+    tmp = f"{so}.tmp.{os.getpid()}"
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+         "-pthread", src, "-o", tmp, *extra],
+        check=True,
+        capture_output=True,
+    )
+    os.rename(tmp, so)
+
+
+_SO = _so_path(_SRC)
 
 
 def _load():
@@ -33,15 +58,7 @@ def _load():
         if _lib is not None or _failed:
             return _lib
         try:
-            if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-                subprocess.run(
-                    [
-                        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                        "-std=c++17", "-pthread", _SRC, "-o", _SO,
-                    ],
-                    check=True,
-                    capture_output=True,
-                )
+            _build(_SRC, _SO)
             lib = ctypes.CDLL(_SO)
             lib.assemble_windows.argtypes = [
                 ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
@@ -72,7 +89,13 @@ def assemble_windows(
     feat_shape = data.shape[1:]
     F = int(np.prod(feat_shape)) if feat_shape else 1
     B = len(starts)
-    assert (starts >= 0).all() and (starts + seq <= T).all()
+    # hard error, not assert: this is the ONLY bounds check before an
+    # unchecked C++ memcpy, and python -O strips asserts
+    if B and not ((starts >= 0).all() and (starts + seq <= T).all()):
+        raise ValueError(
+            f"window out of bounds: starts in [{starts.min()}, "
+            f"{starts.max()}], seq {seq}, T {T}"
+        )
 
     lib = _load()
     out = np.empty((B, seq, *feat_shape), np.float32)
@@ -119,7 +142,7 @@ def add_gaussian_noise(
 # ---------------------------------------------------------------------------
 
 _ZSRC = os.path.join(os.path.dirname(_SRC), "zarr_decoder.cpp")
-_ZSO = os.path.splitext(_ZSRC)[0] + ".so"
+_ZSO = _so_path(_ZSRC)
 _zlib_handle = None
 _zfailed = False
 
@@ -132,15 +155,7 @@ def _zload():
         if _zlib_handle is not None or _zfailed:
             return _zlib_handle
         try:
-            if not os.path.exists(_ZSO) or os.path.getmtime(_ZSO) < os.path.getmtime(_ZSRC):
-                subprocess.run(
-                    [
-                        "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                        "-std=c++17", "-pthread", _ZSRC, "-o", _ZSO, "-lz",
-                    ],
-                    check=True,
-                    capture_output=True,
-                )
+            _build(_ZSRC, _ZSO, ["-lz"])
             lib = ctypes.CDLL(_ZSO)
             lib.decode_zarr_chunks.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),

@@ -121,38 +121,58 @@ class ZarrArray:
         comp = self.meta.get("compressor")
         chunk_nbytes = int(np.prod(chunks)) * dt.itemsize
 
-        # Native path: multithreaded read+inflate into an arena (GIL-free
-        # C++, src/native/zarr_decoder.cpp); scatter stays vectorized here.
-        decoded = None
-        if len(idx_list) > 1 and (
-            comp is None or comp.get("id") in ("zlib", "gzip")
-        ):
-            from dlwpbench_tpu.data import native
+        exists = [os.path.exists(p) for p in paths]
 
-            decoded = native.decode_chunks(
-                paths, compressed=comp is not None, chunk_nbytes=chunk_nbytes
-            )
-
-        for j, idx in enumerate(idx_list):
-            if decoded is not None:
-                arena, ok = decoded
-                if not ok[j]:
-                    continue  # missing chunk -> fill_value
-                block = arena[j].view(dt).reshape(chunks)
-            else:
-                fp = paths[j]
-                if not os.path.exists(fp):
-                    continue  # missing chunk -> fill_value
-                raw = _decode_chunk(open(fp, "rb").read(), comp)
-                block = np.frombuffer(raw, dt).reshape(chunks)
+        def scatter(j, block):
+            idx = idx_list[j]
             slices = tuple(
                 slice(i * c, min((i + 1) * c, s))
                 for i, c, s in zip(idx, chunks, shape)
             )
-            trims = tuple(
-                slice(0, sl.stop - sl.start) for sl in slices
-            )
+            trims = tuple(slice(0, sl.stop - sl.start) for sl in slices)
             out[slices] = block[trims]
+
+        # Native path: multithreaded read+inflate into an arena (GIL-free
+        # C++, src/native/zarr_decoder.cpp); scatter stays vectorized here.
+        # The arena is decoded in bounded batches so peak host RAM stays
+        # ~1x the array (a full-array arena + `out` would be 2x).
+        from dlwpbench_tpu.data import native
+
+        native_ok = len(idx_list) > 1 and (
+            comp is None or comp.get("id") in ("zlib", "gzip")
+        )
+        if native_ok:
+            batch = max(1, (256 << 20) // max(chunk_nbytes, 1))
+            for lo in range(0, len(paths), batch):
+                sub = paths[lo: lo + batch]
+                dec = native.decode_chunks(
+                    sub, compressed=comp is not None,
+                    chunk_nbytes=chunk_nbytes,
+                )
+                if dec is None:  # no toolchain: pure-Python path below
+                    native_ok = False
+                    break
+                arena, ok = dec
+                for j2 in range(len(sub)):
+                    j = lo + j2
+                    if not ok[j2]:
+                        if exists[j]:
+                            # distinguish decode failure from a legitimately
+                            # absent chunk (= fill_value): the pure-Python
+                            # path raises for the same file
+                            raise ValueError(
+                                f"corrupt or truncated zarr chunk {sub[j2]}"
+                            )
+                        continue  # missing chunk -> fill_value
+                    scatter(j, arena[j2].view(dt).reshape(chunks))
+            if native_ok:
+                return out
+
+        for j in range(len(idx_list)):
+            if not exists[j]:
+                continue  # missing chunk -> fill_value
+            raw = _decode_chunk(open(paths[j], "rb").read(), comp)
+            scatter(j, np.frombuffer(raw, dt).reshape(chunks))
         return out
 
 
@@ -204,10 +224,12 @@ def decode_cf_time(values: np.ndarray, units: str) -> np.ndarray:
     if unit is None:
         raise ValueError(f"unsupported time units {units!r}")
     epoch = epoch.strip().replace(" ", "T")
-    base = np.datetime64(epoch, "s")
-    return base + values.astype("int64") * np.timedelta64(1, unit).astype(
-        "timedelta64[s]"
-    )
+    # offsets in the unit's OWN resolution (converting the step to seconds
+    # would truncate sub-second units ms/us/ns -> 0 and silently decode
+    # every timestamp as the epoch); ns-resolution base keeps a
+    # time-of-day epoch exact even with coarse units like days
+    base = np.datetime64(epoch, "ns")
+    return base + values.astype("int64").astype(f"timedelta64[{unit}]")
 
 
 def read_time_coord(arr: ZarrArray) -> np.ndarray:

@@ -67,7 +67,28 @@ def _parse_value(text: str) -> Any:
     return yaml.safe_load(text)
 
 
+_MISSING = object()
+
+
 def _resolve_interpolations(cfg: Config):
+    active: list[str] = []  # interpolation stack for cycle detection
+
+    def lookup(key: str) -> Any:
+        """Missing keys and cycles raise like Hydra, instead of silently
+        producing None/'None' or a RecursionError."""
+        if key in active:
+            raise ValueError(
+                "interpolation cycle: " + " -> ".join([*active, key])
+            )
+        val = cfg.get_dotted(key, _MISSING)
+        if val is _MISSING:
+            raise KeyError(f"interpolation ${{{key}}} refers to a missing key")
+        active.append(key)
+        try:
+            return resolve(val)  # chained refs resolve recursively
+        finally:
+            active.pop()
+
     def resolve(node: Any) -> Any:
         if isinstance(node, dict):
             for k in list(node):
@@ -78,10 +99,8 @@ def _resolve_interpolations(cfg: Config):
         if isinstance(node, str):
             m = _INTERP.fullmatch(node.strip())
             if m:  # whole-value interpolation keeps the referee's type
-                return resolve(cfg.get_dotted(m.group(1)))
-            return _INTERP.sub(
-                lambda mm: str(cfg.get_dotted(mm.group(1))), node
-            )
+                return lookup(m.group(1))
+            return _INTERP.sub(lambda mm: str(lookup(mm.group(1))), node)
         return node
 
     resolve(cfg)

@@ -39,12 +39,22 @@ int inflate_auto(const uint8_t* src, int64_t src_len, uint8_t* dst,
   return rc == Z_STREAM_END ? 0 : 2;
 }
 
+// Hard cap on one compressed chunk file (a weather chunk is a few MB):
+// guards the resize() below against garbage ftell results.
+constexpr long kMaxChunkFile = 1L << 31;
+
 int read_file(const char* path, std::vector<uint8_t>* buf) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
-  std::fseek(f, 0, SEEK_END);
+  // validate every stdio step: fopen can succeed on directories/pipes
+  // where ftell returns -1 or nonsense, and resize((size_t)-1) would
+  // throw inside a worker thread -> std::terminate for the whole process
+  if (std::fseek(f, 0, SEEK_END) != 0) { std::fclose(f); return 2; }
   long n = std::ftell(f);
-  std::fseek(f, 0, SEEK_SET);
+  if (n < 0 || n > kMaxChunkFile || std::fseek(f, 0, SEEK_SET) != 0) {
+    std::fclose(f);
+    return 2;
+  }
   buf->resize(static_cast<size_t>(n));
   size_t got = n ? std::fread(buf->data(), 1, static_cast<size_t>(n), f) : 0;
   std::fclose(f);
@@ -64,13 +74,16 @@ void decode_zarr_chunks(const char* paths, const int64_t* offsets, int64_t n,
                         int64_t chunk_nbytes, uint8_t* ok, int n_threads) {
   if (n_threads < 1) n_threads = 1;
   std::vector<std::thread> workers;
-  std::vector<int64_t> next(1, 0);
   auto work = [&](int tid) {
     for (int64_t i = tid; i < n; i += n_threads) {
       ok[i] = 0;
       const char* path = paths + offsets[i];
       std::vector<uint8_t> raw;
-      if (read_file(path, &raw) != 0) continue;
+      try {
+        if (read_file(path, &raw) != 0) continue;
+      } catch (...) {
+        continue;  // allocation failure -> ok stays 0 (never terminate)
+      }
       uint8_t* dst = arena + i * chunk_nbytes;
       if (compressed[i]) {
         int64_t out_len = 0;

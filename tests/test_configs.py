@@ -83,3 +83,39 @@ def test_model_config_builds_and_steps(name):
     out = model.apply(variables, const, pres, prog)
     assert out.shape == (B, T - ctx, Cq, *spatial)
     assert np.isfinite(np.asarray(out)).all()
+
+
+class TestInterpolationResolver:
+    """Hydra-like strictness (training/config.py): missing keys and cycles
+    raise instead of silently producing 'None' strings; string-context
+    references resolve recursively."""
+
+    def _resolve(self, raw):
+        from dlwpbench_tpu.training.config import (
+            _resolve_interpolations,
+            _wrap,
+        )
+
+        return _resolve_interpolations(_wrap(raw))
+
+    def test_chained_string_interpolation(self):
+        cfg = self._resolve({
+            "data": {"tag": "ns64"},
+            "model": {"name": "${data.tag}_net"},
+            "run_dir": "outputs/${model.name}",
+        })
+        assert cfg["run_dir"] == "outputs/ns64_net"
+        assert cfg["model"]["name"] == "ns64_net"
+
+    def test_missing_key_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError, match="missing key"):
+            self._resolve({"run_dir": "outputs/${model.nmae}",
+                           "model": {"name": "x"}})
+
+    def test_cycle_raises(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="cycle"):
+            self._resolve({"a": "${b}", "b": "${a}"})

@@ -71,6 +71,25 @@ class TestWindowedDataset:
             prog,
         )
 
+    def test_short_split_len_zero(self):
+        """A split shorter than one window yields 0 items, not a negative
+        __len__ (which makes len() raise)."""
+        ds, _ = self._make(sequence_length=25)
+        assert len(ds) == 0
+        assert list(ds.batches(4)) == []
+
+    def test_prescribed_filled_past_data_end(self):
+        """Long rollouts past the data end: the prognostic window zero-fills
+        and the PRESCRIBED window continues by repeating its last frame —
+        both must reach full length or batching shape-mismatches."""
+        ds, prog = self._make(sequence_length=8, init_indices=[15])
+        const, pres, p, tar = ds[0]
+        assert pres.shape[0] == 8 and p.shape[0] == 8
+        np.testing.assert_array_equal(pres[4:], np.broadcast_to(
+            pres[4], pres[4:].shape))
+        np.testing.assert_array_equal(p[:5], prog[15:20])
+        assert p[5:].sum() == 0.0  # prognostic zero-fill
+
     def test_item_semantics(self):
         ds, prog = self._make(sequence_length=5, context_size=1)
         assert len(ds) == (20 - 5) // 5

@@ -57,6 +57,15 @@ class TestZarrLiteRoundTrip:
         assert t[2] == np.datetime64("1979-01-02T06:00:00")
         d = decode_cf_time(np.array([1]), "days since 2000-01-01")
         assert d[0] == np.datetime64("2000-01-02T00:00:00")
+        # sub-second units must not truncate to zero-second steps
+        ms = decode_cf_time(
+            np.array([0, 500, 1500]), "milliseconds since 1979-01-01"
+        )
+        assert ms[1] - ms[0] == np.timedelta64(500, "ms")
+        assert ms[2] == np.datetime64("1979-01-01T00:00:01.500")
+        # a time-of-day epoch survives coarse units
+        h = decode_cf_time(np.array([1]), "days since 2000-01-01 06:00:00")
+        assert h[0] == np.datetime64("2000-01-02T06:00:00")
 
     def test_group_dataset_roundtrip(self, tmp_path):
         from dlwpbench_tpu.data import zarr_lite
@@ -318,6 +327,21 @@ class TestNativeDecoder:
             out_py = zarr_lite.ZarrArray.open(p).read()
         np.testing.assert_array_equal(out_native, out_py)
         assert out_native[16:32, :4].sum() == 0.0  # hole filled
+
+    def test_corrupt_chunk_raises_not_fill(self, tmp_path):
+        """A truncated/corrupt chunk file must raise, not silently decode
+        as fill_value (only a MISSING chunk means fill_value)."""
+        from dlwpbench_tpu.data import native, zarr_lite
+
+        if not native.zarr_decoder_available():
+            pytest.skip("no toolchain for the native decoder")
+        data = np.ones((8, 8), np.float32)
+        p = str(tmp_path / "bad")
+        zarr_lite.write_array(p, data, dims=("a", "b"), chunks=(4, 4))
+        with open(os.path.join(p, "0.1"), "r+b") as f:
+            f.truncate(3)  # corrupt, not missing
+        with pytest.raises(ValueError, match="corrupt or truncated"):
+            zarr_lite.ZarrArray.open(p).read()
 
     def test_native_decoder_uncompressed(self, tmp_path):
         from dlwpbench_tpu.data import native, zarr_lite
