@@ -74,6 +74,11 @@ class WindowedWeatherDataset:
     noise: float = 0.0
     init_indices: Sequence[int] | None = None
     seed: int = 0
+    # optional per-frame datetime64 timestamps (len == prognostic frames):
+    # sources with a real calendar attach them so consumers (monthly
+    # climatology, ACC, init-date reporting) can stratify by valid time;
+    # not part of the batch tuple
+    times: np.ndarray | None = None
 
     def __post_init__(self):
         self._rng = np.random.default_rng(self.seed)
@@ -92,12 +97,24 @@ class WindowedWeatherDataset:
             )
         return len(self.init_indices)
 
-    def __getitem__(self, item: int):
-        start = (
-            item * self.sequence_length
-            if self.init_indices is None
-            else int(self.init_indices[item])
+    def window_start(self, item: int) -> int:
+        """Frame index where window `item` begins."""
+        if self.init_indices is None:
+            return item * self.sequence_length
+        return int(self.init_indices[item])
+
+    def target_frame_indices(self, item: int) -> np.ndarray:
+        """Global frame indices of the target steps `item` yields (the
+        frames metrics are computed against), clamped to the data end for
+        zero-filled long rollouts — consumers index `times` with these."""
+        start = self.window_start(item)
+        idx = np.arange(
+            start + 1 + self.context_size, start + self.sequence_length + 1
         )
+        return np.minimum(idx, self.prognostic.shape[0] - 1)
+
+    def __getitem__(self, item: int):
+        start = self.window_start(item)
         seq = self.sequence_length
 
         pres = (

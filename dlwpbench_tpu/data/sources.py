@@ -304,14 +304,24 @@ def _weatherbench_zarr(d, tr, va, te, ctx):
     test_seq = int((te or va)["sequence_length"])
     test = _mk(te_split, test_seq, ctx, 0.0, 3)
 
+    # attach per-frame valid times (real calendar) so consumers can
+    # stratify by month (monthly climatology / ACC) and report init dates
+    t_ref = series[next(iter(prog_spec))][0]
+
+    def split_times(start, stop):
+        lo = np.datetime64(str(start))
+        hi = np.datetime64(str(stop)) + np.timedelta64(1, "D")
+        return t_ref[(t_ref >= lo) & (t_ref < hi)][::td]
+
+    train.times = split_times(d["train_start_date"], d["train_stop_date"])
+    val.times = split_times(d["val_start_date"], d["val_stop_date"])
+    test.times = split_times(d["test_start_date"], d["test_stop_date"])
+
     # Forecast protocol on the test split: biweekly Monday/Thursday 11:00
     # UTC init dates (reference `evaluate.py:56-77` builds these itself for
     # evaluation regardless of the train config's init_dates; the synthetic
     # source applies the same rule).
-    t_all = series[next(iter(prog_spec))][0]
-    t0 = np.datetime64(str(d["test_start_date"]))
-    t1 = np.datetime64(str(d["test_stop_date"])) + np.timedelta64(1, "D")
-    test_times = t_all[(t_all >= t0) & (t_all < t1)][::td]
+    test_times = test.times
     if len(test_times):
         idx = biweekly_init_indices(test_times, test_times[0], test_times[-1])
         idx = idx[idx + test_seq + 1 <= len(test_times)]

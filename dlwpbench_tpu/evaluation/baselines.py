@@ -24,9 +24,16 @@ def monthly_climatology(
 
     fields: [T, C, ...]; months: [T] in 1..12 -> [12, C, ...]
     (reference `build_baselines.py:35-74`, 1981-2010 standard normal period).
+    Months absent from the reference period fall back to the overall mean
+    (short fixtures/splits) instead of producing NaN rows.
     """
+    overall = fields.mean(axis=0)
     out = np.stack(
-        [fields[months == m].mean(axis=0) for m in range(1, 13)], axis=0
+        [
+            fields[months == m].mean(axis=0) if (months == m).any() else overall
+            for m in range(1, 13)
+        ],
+        axis=0,
     )
     return out
 

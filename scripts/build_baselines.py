@@ -69,22 +69,47 @@ def main(argv=None):
 
     # persistence
     pers = persistence_forecast(inits, n_steps)
-    # "climatology": mean state of the train split per channel (the monthly
-    # stratification needs real timestamps; synthetic splits use the overall
-    # mean, which is the climatology of a stationary series)
-    clim_state = np.zeros_like(inits[0])
-    count = 0
-    for _, _, prog, _ in train_ds.batches(8):
-        clim_state = clim_state + prog.mean(axis=(0, 1)) * prog.shape[0]
-        count += prog.shape[0]
-    clim_state /= max(count, 1)
-    if stats and bool(cfg.data.get("normalize", True)):
-        clim_state = E.denormalize(
-            clim_state[None], stats, var_names, channel_axis=1
-        )[0]
-    clim = np.broadcast_to(
-        clim_state[None, None], (inits.shape[0], n_steps, *clim_state.shape)
-    ).copy()
+    # climatology: MONTHLY-stratified mean of the train split when the
+    # source carries a real calendar (reference `build_baselines.py:35-74`,
+    # looked up at each forecast valid time); synthetic/NS splits use the
+    # overall mean (the climatology of a stationary series)
+    denorm = stats and bool(cfg.data.get("normalize", True))
+    if getattr(train_ds, "times", None) is not None and test_ds.times is not None:
+        from dlwpbench_tpu.evaluation.baselines import (
+            climatology_forecast,
+            monthly_climatology,
+        )
+
+        fields = train_ds.prognostic
+        if denorm:
+            fields = E.denormalize(fields, stats, var_names, channel_axis=1)
+        tr_months = train_ds.times.astype("datetime64[M]").astype(int) % 12 + 1
+        clim_table = monthly_climatology(fields, tr_months)
+        te_months = (
+            test_ds.times.astype("datetime64[M]").astype(int) % 12 + 1
+        )
+        valid = np.stack(
+            [
+                te_months[test_ds.target_frame_indices(i)]
+                for i in range(len(test_ds))
+            ]
+        )
+        clim = climatology_forecast(clim_table, valid)
+    else:
+        clim_state = np.zeros_like(inits[0])
+        count = 0
+        for _, _, prog, _ in train_ds.batches(8):
+            clim_state = clim_state + prog.mean(axis=(0, 1)) * prog.shape[0]
+            count += prog.shape[0]
+        clim_state /= max(count, 1)
+        if denorm:
+            clim_state = E.denormalize(
+                clim_state[None], stats, var_names, channel_axis=1
+            )[0]
+        clim = np.broadcast_to(
+            clim_state[None, None],
+            (inits.shape[0], n_steps, *clim_state.shape),
+        ).copy()
 
     # HEALPix runs: remap to lat-lon before metrics, exactly like model
     # evaluation (scripts/evaluate.py; previously these were skipped and

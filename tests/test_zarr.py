@@ -485,3 +485,45 @@ class TestBiweeklyInitsOnZarrTest:
         t = pd.DatetimeIndex(times)
         assert set(t.dayofweek.tolist()) <= {0, 3}  # Mon/Thu
         assert (t.hour == 11).all()
+
+
+class TestTimesAndMonthlyClimatology:
+    def test_times_attached_per_split(self):
+        """The zarr source attaches per-frame datetime64 valid times to
+        every split (monthly climatology / ACC stratify by these)."""
+        from dlwpbench_tpu.data.sources import build_datasets
+
+        train, val, test, _ = build_datasets(
+            _wb_cfg(), {"sequence_length": 4}, {"sequence_length": 4},
+            {"sequence_length": 6}, context_size=1,
+        )
+        assert train.times is not None and len(train.times) == 28
+        assert val.times is not None and len(val.times) == 12
+        assert test.times is not None and len(test.times) == 32
+        assert train.times[0] == np.datetime64("1979-01-01T00")
+        # target_frame_indices maps a window to the frames metrics use
+        idx = test.target_frame_indices(0)
+        assert idx.tolist() == list(range(2, 7))  # ctx 1, seq 6 -> 5 steps
+
+    def test_monthly_climatology_lookup(self):
+        """monthly_climatology + climatology_forecast: per-month means are
+        selected by each forecast step's valid month; months missing from
+        the reference period fall back to the overall mean (no NaNs)."""
+        from dlwpbench_tpu.evaluation.baselines import (
+            climatology_forecast,
+            monthly_climatology,
+        )
+
+        fields = np.zeros((10, 1, 2, 2), np.float32)
+        fields[:5] = 1.0  # month 1
+        fields[5:] = 3.0  # month 2
+        months = np.array([1] * 5 + [2] * 5)
+        clim = monthly_climatology(fields, months)
+        assert clim.shape == (12, 1, 2, 2)
+        assert clim[0].mean() == 1.0 and clim[1].mean() == 3.0
+        assert not np.isnan(clim).any()  # months 3..12 -> overall mean 2.0
+        assert clim[5].mean() == 2.0
+        fc = climatology_forecast(clim, np.array([[1, 2, 12], [2, 2, 1]]))
+        assert fc.shape == (2, 3, 1, 2, 2)
+        assert fc[0, 0].mean() == 1.0 and fc[0, 1].mean() == 3.0
+        assert fc[1, 2].mean() == 1.0
