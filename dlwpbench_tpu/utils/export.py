@@ -175,6 +175,14 @@ def export_from_run_dir(
     )
     save_exported(
         out_path, exported,
-        meta={"model": dict(cfg.model), "run_dir": os.path.abspath(run_dir)},
+        meta={
+            "model": dict(cfg.model),
+            "data": dict(cfg.data),
+            "run_dir": os.path.abspath(run_dir),
+            # exact call shapes (None = group absent): the serving side
+            # must batch/window to these — the artifact is shape-locked
+            "shapes": shapes,
+            "context_size": ctx,
+        },
     )
     return out_path

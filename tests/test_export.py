@@ -90,6 +90,39 @@ class TestExportRoundtrip:
         with pytest.raises(ValueError, match="not a dlwpbench_tpu export"):
             load_exported(p)
 
+    def test_serve_cli_end_to_end(self, tmp_path):
+        """Train (CLI) -> export (CLI) -> serve (CLI): the code-free
+        serving path writes forecast files + metrics from the artifact."""
+        import json
+
+        from scripts.export_model import main as export_main
+        from scripts.serve import main as serve_main
+        from scripts.train import main as train_main
+
+        run_dir = os.path.join(str(tmp_path), "run")
+        train_main([
+            "model=unet", "data=synthetic",
+            "data.height=16", "data.width=32",
+            "training.epochs=1", "training.batch_size=2",
+            "training.sequence_length=3", "validation.sequence_length=3",
+            f"run_dir={run_dir}",
+        ])
+        art = os.path.join(str(tmp_path), "unet.stablehlo")
+        export_main(["-c", run_dir, "-o", art,
+                     "--batch-size", "2", "--sequence-length", "3"])
+        out_dir = os.path.join(str(tmp_path), "serving")
+        serve_main(["-a", art, "-c", run_dir, "--out-dir", out_dir])
+        m = json.load(open(os.path.join(out_dir, "metrics.json")))
+        assert "rmse" in m and all(
+            np.isfinite(v).all() for v in m["rmse"].values()
+        )
+        s = json.load(open(os.path.join(out_dir, "serving.json")))
+        assert s["gridpoints_per_s"] > 0
+        # batch-size mismatch is refused (the artifact is shape-locked)
+        with pytest.raises(ValueError, match="shape-locked"):
+            serve_main(["-a", art, "-c", run_dir, "--out-dir", out_dir,
+                        "--batch-size", "5"])
+
     def test_export_from_run_dir_cli(self, tmp_path):
         """Train one tiny epoch via the real CLI, export the run, serve."""
         import jax.numpy as jnp
