@@ -205,3 +205,23 @@ class TestZonalWaveAnalysis:
         assert abs(slope) < 1e-6
         trend = pp.get_trend_timeseries(200)
         np.testing.assert_allclose(trend + anom, data, atol=1e-4)
+
+
+class TestProfileCLI:
+    def test_profile_model_cli(self, tmp_path):
+        """scripts/profile_model.py captures a trace dir + profile.json with
+        steady-state percentiles and scan-aware FLOPs."""
+        import json
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "scripts"))
+        import importlib
+
+        pm = importlib.import_module("profile_model")
+        out = str(tmp_path / "trace")
+        pm.main(["--model", "unet", "--batch", "1", "--seq", "4",
+                 "--steps", "2", "--out-dir", out])
+        info = json.load(open(os.path.join(out, "profile.json")))
+        assert info["steps"] == 2 and info["median_s"] > 0
+        assert info["flops_per_step"] > 0
