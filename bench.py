@@ -71,11 +71,33 @@ def main():
     else:
         params = jax.jit(model.init)(jax.random.PRNGKey(0), const, pres, prog)
 
-    # Persistent compile cache only for the device program (avoids polluting
-    # the cache with host-CPU AOT entries from the init above).
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    # FLOPs of ONE rollout step, BEFORE the cache is enabled (no host-CPU
+    # AOT entries in the device cache) and from ShapeDtypeStruct avals
+    # placed nowhere (committed TPU args would override default_device and
+    # force the lowering through the remote axon compiler, which hides
+    # cost_analysis).  XLA counts a While/scan body ONCE regardless of trip
+    # count (verified: flops(T=17) == flops(T=2)), so lower a T=2 program —
+    # exactly one rollout step — and multiply by the T-1 scanned steps.
+    flops = 0.0
+    try:
+        if cpu is not None:
+            with jax.default_device(cpu):
+                one = jax.jit(lambda p, c, pr, pg: model.apply(p, c, pr, pg))
+                aval = lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+                cost = one.lower(
+                    jax.tree.map(aval, params), aval(const),
+                    aval(pres[:, :2]), aval(prog[:, :2]),
+                ).compile().cost_analysis()
+                if isinstance(cost, (list, tuple)):
+                    cost = cost[0]
+                flops = float(cost.get("flops", 0.0)) * (T - 1)
+    except Exception:
+        pass
+
+    # Persistent compile cache only for the device program.
+    import dlwpbench_tpu
+
+    dlwpbench_tpu.enable_compile_cache()
 
     dev = jax.devices()[0]
     params, const, pres, prog = jax.device_put((params, const, pres, prog), dev)
@@ -102,32 +124,13 @@ def main():
 
     gps = B * (T - 1) * H * W / dt
 
-    # MFU: FLOPs of ONE rollout from XLA's cost model (lowered on the host
-    # CPU backend — the HLO is identical; the remote axon compiler does not
-    # expose cost_analysis), against the chip's peak.  XLA's cost model
-    # counts a While/scan body ONCE regardless of trip count (verified:
-    # flops(T=17) == flops(T=2) for this model), so lower a T=2 program —
-    # exactly one rollout step — and multiply by the T-1 scanned steps.
-    # v5e peak is 197 TFLOP/s bf16; matmuls/convs on fp32 inputs run at
-    # DEFAULT precision (bf16 passes on the MXU), so bf16 peak is the
-    # honest denominator.
-    mfu = mfu_bf16_peak = None
-    try:
-        if cpu is not None:
-            with jax.default_device(cpu):
-                one = jax.jit(lambda p, c, pr, pg: model.apply(p, c, pr, pg))
-                cost = one.lower(
-                    params, const, pres[:, :2], prog[:, :2]
-                ).compile().cost_analysis()
-                if isinstance(cost, (list, tuple)):
-                    cost = cost[0]
-                flops = float(cost.get("flops", 0.0)) * (T - 1)
-            if flops > 0:
-                PEAK_BF16 = 197e12
-                mfu_bf16_peak = flops / dt / PEAK_BF16
-                mfu = round(100 * mfu_bf16_peak, 2)
-    except Exception:
-        pass
+    # MFU against the chip's peak.  v5e peak is 197 TFLOP/s bf16;
+    # matmuls/convs on fp32 inputs run at DEFAULT precision (bf16 passes
+    # on the MXU), so bf16 peak is the honest denominator.
+    mfu = None
+    if flops > 0:
+        PEAK_BF16 = 197e12
+        mfu = round(100 * flops / dt / PEAK_BF16, 2)
 
     out = {
         "metric": "grid-points/s/chip, UNet 2.8M 16-step rollout 5.625deg",

@@ -18,11 +18,19 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+import sys
+
+# repo root on sys.path so a bare `pytest` entry point (any cwd) can import
+# the package — the repo has no installer/pytest.ini and tests/ no __init__
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
-# This host compiles slowly; persist compiled executables across test runs.
-jax.config.update("jax_compilation_cache_dir", "/tmp/dlwpbench_jax_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+# This host compiles slowly; persist compiled executables across test runs
+# (the helper picks the CPU-backend cache dir — one place owns the knobs).
+import dlwpbench_tpu  # noqa: E402
+
+dlwpbench_tpu.enable_compile_cache()
