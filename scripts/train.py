@@ -72,6 +72,25 @@ def main(argv):
         )
         lat_w = latitude_weights(lats)[:, None]
 
+    # training.multihost=true: join the multi-process job (rank discovery
+    # from torch-style env vars / SLURM / OpenMPI / TPU-pod metadata —
+    # the reference DistributedManager's role, `manager.py:206-316`),
+    # mesh over ALL processes' devices, deterministic per-host epoch
+    # shards through dataset.batches(host_id=..., n_hosts=...).
+    host_id, n_hosts = 0, 1
+    spmd_mesh = _make_dp_mesh(int(cfg.training.get("data_parallel", 0)))
+    if bool(cfg.training.get("multihost", False)):
+        from dlwpbench_tpu.parallel import launch
+
+        launch.initialize()
+        host_id, n_hosts = launch.host_info()
+        spmd_mesh = launch.global_mesh(
+            x=int(cfg.training.get("model_parallel", 1))
+        )
+        if cfg.verbose:
+            print(f"multihost: process {host_id}/{n_hosts}, "
+                  f"mesh {spmd_mesh.shape}")
+
     trainer = Trainer(
         model,
         learning_rate=float(cfg.training.learning_rate),
@@ -86,7 +105,9 @@ def main(argv):
         min_noise_std=float(cfg.training.get("min_noise_std", 4e-4)),
         ema_decay=float(cfg.training.get("ema_decay", 0.995)),
         compute_dtype=cfg.training.get("compute_dtype"),
-        spmd_mesh=_make_dp_mesh(int(cfg.training.get("data_parallel", 0))),
+        spmd_mesh=spmd_mesh,
+        host_id=host_id,
+        n_hosts=n_hosts,
     )
 
     first = next(iter(train_ds.batches(1)))

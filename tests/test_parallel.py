@@ -639,3 +639,68 @@ class TestRingAttention:
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
         )
+
+
+class TestMultihostLaunch:
+    """parallel/launch.py: the reference DistributedManager's rank
+    discovery (`manager.py:206-316`) mapped onto jax.distributed."""
+
+    def test_torch_style_spec_parsing(self):
+        from dlwpbench_tpu.parallel.launch import torch_style_spec
+
+        env = {"MASTER_ADDR": "10.0.0.1", "MASTER_PORT": "29500",
+               "RANK": "3", "WORLD_SIZE": "8"}
+        spec = torch_style_spec(env)
+        assert spec == {"coordinator_address": "10.0.0.1:29500",
+                        "num_processes": 8, "process_id": 3}
+        # the reference's default port when MASTER_PORT is unset
+        spec = torch_style_spec({"MASTER_ADDR": "h", "RANK": "0",
+                                 "WORLD_SIZE": "2"})
+        assert spec["coordinator_address"] == "h:12355"
+        assert torch_style_spec({}) is None
+
+    def test_initialize_single_process_noop(self, monkeypatch):
+        from dlwpbench_tpu.parallel import launch
+
+        for var in ("MASTER_ADDR", "RANK", "WORLD_SIZE", "SLURM_PROCID",
+                    "OMPI_COMM_WORLD_RANK", "TPU_WORKER_HOSTNAMES",
+                    "CLOUD_TPU_TASK_ID"):
+            monkeypatch.delenv(var, raising=False)
+        assert launch.initialize() is False
+        # WORLD_SIZE=1 is also a single-process run
+        assert launch.initialize(
+            {"coordinator_address": "h:1", "num_processes": 1,
+             "process_id": 0}) is False
+
+    def test_global_mesh_and_host_info(self):
+        import jax
+
+        from dlwpbench_tpu.parallel import launch
+
+        host_id, n_hosts = launch.host_info()
+        assert (host_id, n_hosts) == (0, 1)
+        mesh = launch.global_mesh(x=2)
+        assert mesh.shape == {"data": len(jax.devices()) // 2, "x": 2}
+
+    def test_train_cli_multihost_single_process(self, tmp_path):
+        """training.multihost=true on one process: rank discovery no-ops,
+        the mesh spans all (virtual) devices, training runs."""
+        import os
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "scripts"))
+        import importlib
+
+        train = importlib.import_module("train")
+        run_dir = str(tmp_path / "mh")
+        train.main([
+            "model=unet", "data=synthetic",
+            "data.height=16", "data.width=32",
+            "training.epochs=1", "training.batch_size=8",
+            "training.sequence_length=3", "validation.sequence_length=3",
+            "training.multihost=true",
+            f"run_dir={run_dir}", "verbose=false",
+        ])
+        assert os.path.exists(
+            os.path.join(run_dir, "checkpoints", "unet_last.ckpt"))
