@@ -84,3 +84,33 @@ class TestEvaluateCLI:
         assert all(np.isfinite(v).all() for v in m["rmse"].values())
         data = np.load(os.path.join(out_dir, "forecast.npz"))
         assert data["outputs"].ndim == 5  # lat-lon, faces remapped away
+
+
+class TestBaselinesCLI:
+    def test_build_baselines_and_acc(self, tmp_path, monkeypatch):
+        """build_baselines writes persistence+climatology in physical
+        units; a following evaluate_run picks the climatology file up and
+        emits ACC (eq. A1) against it."""
+        import importlib
+
+        monkeypatch.chdir(tmp_path)
+        run_dir = _train(
+            tmp_path, "bb", "model=unet", "data=synthetic",
+            "data.height=16", "data.width=32", "model.hidden_channels=[6]",
+        )
+        bb = importlib.import_module("build_baselines")
+        bb.main(["-c", run_dir, "--sequence-length", "5"])
+        for name in ("persistence", "climatology"):
+            m = json.load(open(os.path.join(
+                "outputs", name, "evaluation", "metrics.json")))
+            assert all(np.isfinite(v).all() for v in m["rmse"].values())
+        assert os.path.exists(os.path.join(
+            "outputs", "climatology", "evaluation", "outputs.npz"))
+
+        ev = importlib.import_module("evaluate")
+        results = ev.evaluate_run(
+            run_dir, sequence_length=5, batch_size=4, video=False
+        )
+        assert "acc" in results  # climatology consumed -> eq. A1 computed
+        acc0 = np.asarray(results["acc"][results["variables"][0]])
+        assert np.isfinite(acc0).all() and (np.abs(acc0) <= 1.0 + 1e-6).all()

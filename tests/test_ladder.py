@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
     ("mgn", 8e6, 0.1),
     ("fno2d", 8e6, 0.15),
     ("modernunet", 8e6, 0.1),
+    ("distana", 500e3, 0.1),
+    ("distana", 8e6, 0.1),
 ])
 def test_solve_width_hits_target(family, target, tol):
     import jax.numpy as jnp
