@@ -114,3 +114,26 @@ class TestBaselinesCLI:
         assert "acc" in results  # climatology consumed -> eq. A1 computed
         acc0 = np.asarray(results["acc"][results["variables"][0]])
         assert np.isfinite(acc0).all() and (np.abs(acc0) <= 1.0 + 1e-6).all()
+
+
+class TestPaperFiguresCLI:
+    def test_paper_figures_from_eval_artifacts(self, tmp_path, monkeypatch):
+        """scripts/paper_figures.py renders the reference's figure families
+        (plot_results.py) from measured evaluation artifacts."""
+        import importlib
+
+        monkeypatch.chdir(tmp_path)
+        run_dir = _train(
+            tmp_path, "figs", "model=unet", "data=synthetic",
+            "data.height=16", "data.width=32", "model.hidden_channels=[6]",
+        )
+        ev = importlib.import_module("evaluate")
+        ev.evaluate_run(run_dir, sequence_length=5, batch_size=4, video=False)
+        pf = importlib.import_module("paper_figures")
+        out = str(tmp_path / "figures")
+        pf.main(["-c", run_dir, "--out-dir", out])
+        made = sorted(os.listdir(out))
+        for stem in ("rmse_over_time", "physical_soundness", "hovmoller",
+                     "ke_spectrum", "end_conditions", "long_rollout",
+                     "zonal_fft", "wavenumber_dist", "rmse_map"):
+            assert any(f.startswith(stem) for f in made), (stem, made)
