@@ -33,10 +33,10 @@ from flax import linen as nn
 from dlwpbench_tpu.grids.mesh_graph import build_graphcast_graphs
 from dlwpbench_tpu.models.base import RolloutModel
 from dlwpbench_tpu.ops.graph_ops import (
+    EdgeMovement,
     MeshEdgeBlock,
     MeshGraphMLP,
     MeshNodeBlock,
-    aggregate,
 )
 
 
@@ -66,6 +66,9 @@ class GraphCastNet(RolloutModel):
     node_feat_unit: str = "rad"
     spmd_mesh: Any = None  # jax Mesh: partition the processor over dist_axis
     dist_axis: str = "x"
+    # edge-movement implementation: "auto" (one-hot MXU matmuls on TPU for
+    # small graphs, gather/segment_sum otherwise), "onehot", or "gather"
+    movement_impl: str = "auto"
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -168,6 +171,14 @@ class GraphCastNet(RolloutModel):
             )[:, :N]
             return out.reshape(B, H, W, self.prognostic_channels), state
 
+        # Movement operators: one-hot MXU contractions on TPU for graphs
+        # this small, take/segment_sum elsewhere (`ops/graph_ops.py`).
+        g2m_mv = EdgeMovement(g2m.src, g2m.dst, N, V, self.movement_impl)
+        proc_mv = EdgeMovement(
+            mesh_g.src, mesh_g.dst, V, V, self.movement_impl
+        )
+        m2g_mv = EdgeMovement(m2g.src, m2g.dst, V, N, self.movement_impl)
+
         # --- encoder embedder (4 MLPs) ---
         grid = mlp()(grid)
         mesh_nf = mlp()(mesh_nf)
@@ -176,40 +187,31 @@ class GraphCastNet(RolloutModel):
 
         # --- g2m encoder ---
         cat = jnp.concatenate(
-            [
-                g2m_e,
-                jnp.take(grid, jnp.asarray(g2m.src), axis=1),
-                jnp.take(mesh_nf, jnp.asarray(g2m.dst), axis=1),
-            ],
+            [g2m_e, g2m_mv.gather_src(grid), g2m_mv.gather_dst(mesh_nf)],
             axis=-1,
         )
         g2m_e = mlp()(cat)
-        agg = aggregate(g2m_e, jnp.asarray(g2m.dst), V, self.aggregation)
+        agg = g2m_mv.aggregate(g2m_e, self.aggregation)
         mesh_nf = mesh_nf + mlp()(jnp.concatenate([agg, mesh_nf], -1))
         grid = grid + mlp()(grid)
 
         # --- processor over the multimesh ---
-        msrc, mdst = jnp.asarray(mesh_g.src), jnp.asarray(mesh_g.dst)
         for _ in range(self.processor_layers):
             mesh_e = MeshEdgeBlock(D, D, hl)(
-                mesh_e, mesh_nf, mesh_nf, msrc, mdst
+                mesh_e, mesh_nf, mesh_nf, movement=proc_mv
             )
             mesh_nf = MeshNodeBlock(D, D, hl, self.aggregation)(
-                mesh_e, mesh_nf, mdst, V
+                mesh_e, mesh_nf, movement=proc_mv
             )
 
         # --- m2g decoder ---
         m2g_e = mlp()(m2g_e)
         cat = jnp.concatenate(
-            [
-                m2g_e,
-                jnp.take(mesh_nf, jnp.asarray(m2g.src), axis=1),
-                jnp.take(grid, jnp.asarray(m2g.dst), axis=1),
-            ],
+            [m2g_e, m2g_mv.gather_src(mesh_nf), m2g_mv.gather_dst(grid)],
             axis=-1,
         )
         m2g_e = mlp()(cat)
-        agg = aggregate(m2g_e, jnp.asarray(m2g.dst), N, self.aggregation)
+        agg = m2g_mv.aggregate(m2g_e, self.aggregation)
         grid = grid + mlp()(jnp.concatenate([agg, grid], -1))
 
         # final MLP, no norm (`graph_cast_net.py:363-371`)

@@ -27,10 +27,35 @@ from flax import linen as nn
 
 from dlwpbench_tpu.models.base import RolloutModel
 from dlwpbench_tpu.ops.graph_ops import (
+    EdgeMovement,
     MeshEdgeBlock,
     MeshGraphMLP,
     MeshNodeBlock,
+    StencilMovement,
 )
+
+# Directed stencil directions matching `build_grid_graph`'s bidirected edge
+# sets: 4-stencil cardinals, 8-stencil adds the diagonals.
+STENCIL_DIRS = {
+    "grid_2d": ((0, 1), (0, -1), (1, 0), (-1, 0)),
+    "grid_2d_8stencil": (
+        (0, 1), (0, -1), (1, 0), (-1, 0),
+        (-1, 1), (1, 1), (1, -1), (-1, -1),
+    ),
+}
+
+
+def stencil_edge_feats(graph_type: str) -> np.ndarray:
+    """Per-direction edge features, identical to `build_grid_graph`'s
+    per-edge (dr, dc[, dist/max]) values (constant within a direction)."""
+    dirs = STENCIL_DIRS[graph_type]
+    feats = [[float(dr), float(dc)] for dr, dc in dirs]
+    if graph_type == "grid_2d_8stencil":
+        dmax = np.sqrt(2.0)
+        feats = [
+            f + [float(np.sqrt(f[0] ** 2 + f[1] ** 2) / dmax)] for f in feats
+        ]
+    return np.asarray(feats, np.float32)
 
 
 def _dedup_bidirect(edges: np.ndarray) -> np.ndarray:
@@ -135,23 +160,46 @@ class MeshGraphNet(RolloutModel):
     graph_width: int = 64
     periodic: bool = True
     mesh: str = "equirectangular"
+    # "auto": stencil movement (rolls + masked shifted adds, zero gathers)
+    # for grid graphs, edge-list movement for delaunay; "edge_list" forces
+    # the index form (same parameter tree either way).
+    movement_impl: str = "auto"
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
         B, H, W, Cin = x.shape
-        src_np, dst_np, ef_np = build_grid_graph(
-            H, W, self.graph_type, self.periodic
-        )
-        src, dst = jnp.asarray(src_np), jnp.asarray(dst_np)
         N = H * W
         relu = nn.relu
-
-        nodes = x.reshape(B, N, Cin)
-        # fp32 numpy edge features cast to the compute dtype so bf16 rollouts
-        # don't promote the output back to fp32 (scan carry must be stable).
-        edges = jnp.broadcast_to(
-            jnp.asarray(ef_np, dtype=x.dtype), (B, *ef_np.shape)
+        stencil = (
+            self.graph_type in STENCIL_DIRS
+            and self.movement_impl != "edge_list"
         )
+
+        if stencil:
+            # Regular-grid message passing as vectorized neighbor shifts:
+            # nodes stay [B, H, W, F], edges are [B, D, H, W, Fe] direction
+            # planes.  Identical parameter tree to the edge-list form (the
+            # MLPs are shape-polymorphic over leading dims).
+            mv = StencilMovement(
+                H, W, STENCIL_DIRS[self.graph_type], self.periodic
+            )
+            nodes = x
+            ef = stencil_edge_feats(self.graph_type)
+            edges = jnp.broadcast_to(
+                jnp.asarray(ef, dtype=x.dtype)[:, None, None, :],
+                (B, ef.shape[0], H, W, ef.shape[1]),
+            )
+        else:
+            src_np, dst_np, ef_np = build_grid_graph(
+                H, W, self.graph_type, self.periodic
+            )
+            mv = EdgeMovement(src_np, dst_np, N, N, self.movement_impl)
+            nodes = x.reshape(B, N, Cin)
+            # fp32 numpy edge features cast to the compute dtype so bf16
+            # rollouts don't promote back to fp32 (stable scan carry).
+            edges = jnp.broadcast_to(
+                jnp.asarray(ef_np, dtype=x.dtype), (B, *ef_np.shape)
+            )
 
         hd = self.hidden_dim_processor
         nodes = MeshGraphMLP(
@@ -166,11 +214,11 @@ class MeshGraphNet(RolloutModel):
         for _ in range(self.processor_size):
             edges = MeshEdgeBlock(
                 hd, hd, self.num_layers_edge_processor, activation=relu
-            )(edges, nodes, nodes, src, dst)
+            )(edges, nodes, nodes, movement=mv)
             nodes = MeshNodeBlock(
                 hd, hd, self.num_layers_node_processor, self.aggregation,
                 activation=relu,
-            )(edges, nodes, dst, N)
+            )(edges, nodes, movement=mv)
 
         out = MeshGraphMLP(
             self.prognostic_channels,

@@ -138,3 +138,101 @@ class TestGraphModels:
         out = jax.jit(lambda pp, c, g: m.apply(pp, c, None, g))(p, const, prog)
         assert out.shape == (1, 2, 2, 8, 16)
         assert np.isfinite(np.asarray(out)).all()
+
+
+class TestMovementImplementations:
+    """The three edge-movement implementations (`ops/graph_ops.py`) must be
+    mathematically identical: one-hot MXU contraction == gather/segment_sum,
+    and MGN's stencil (roll/shifted-add) form == its edge-list form."""
+
+    def test_onehot_matches_gather(self):
+        from dlwpbench_tpu.ops.graph_ops import aggregate, gather_nodes
+
+        r = np.random.default_rng(3)
+        E, N, F, B = 57, 13, 6, 2
+        src = r.integers(0, N, E).astype(np.int32)
+        dst = r.integers(0, N, E).astype(np.int32)
+        ef = jnp.asarray(r.standard_normal((B, E, F)), jnp.float32)
+        nf = jnp.asarray(r.standard_normal((B, N, F)), jnp.float32)
+        for mode in ("sum", "mean"):
+            a = aggregate(ef, dst, N, mode, impl="gather")
+            b = aggregate(ef, dst, N, mode, impl="onehot")
+            # onehot rides the MXU in bf16 (activations round once)
+            np.testing.assert_allclose(a, b, atol=2e-2, rtol=2e-2)
+        g1 = gather_nodes(nf, src, N, impl="gather")
+        g2 = gather_nodes(nf, src, N, impl="onehot")
+        np.testing.assert_allclose(g1, g2, atol=2e-2, rtol=2e-2)
+
+    def test_onehot_grads_match(self):
+        from dlwpbench_tpu.ops.graph_ops import aggregate
+
+        r = np.random.default_rng(4)
+        E, N, F = 31, 7, 4
+        dst = r.integers(0, N, E).astype(np.int32)
+        ef = jnp.asarray(r.standard_normal((E, F)), jnp.float32)
+        g1 = jax.grad(lambda e: jnp.sum(aggregate(e, dst, N, impl="gather") ** 2))(ef)
+        g2 = jax.grad(lambda e: jnp.sum(aggregate(e, dst, N, impl="onehot") ** 2))(ef)
+        np.testing.assert_allclose(g1, g2, atol=5e-2, rtol=5e-2)
+
+    @pytest.mark.parametrize("gt", ["grid_2d", "grid_2d_8stencil"])
+    def test_mgn_stencil_matches_edge_list(self, gt):
+        from dlwpbench_tpu.models.mgn import MeshGraphNet
+
+        r = np.random.default_rng(5)
+        m1 = MeshGraphNet(
+            graph_type=gt, processor_size=2, hidden_dim_processor=16,
+            hidden_dim_node_encoder=16, hidden_dim_edge_encoder=16,
+            hidden_dim_node_decoder=16, constant_channels=2,
+            prescribed_channels=0, prognostic_channels=1,
+            movement_impl="edge_list",
+        )
+        m2 = m1.clone(movement_impl="auto")
+        B, T, H, W = 2, 3, 8, 16
+        const = jnp.asarray(r.standard_normal((B, 1, 2, H, W)), jnp.float32)
+        prog = jnp.asarray(r.standard_normal((B, T, 1, H, W)), jnp.float32)
+        p1 = m1.init(jax.random.PRNGKey(0), const, None, prog)
+        p2 = m2.init(jax.random.PRNGKey(0), const, None, prog)
+        # identical parameter trees: checkpoints are impl-portable
+        assert jax.tree.structure(p1) == jax.tree.structure(p2)
+        assert [a.shape for a in jax.tree.leaves(p1)] == [
+            a.shape for a in jax.tree.leaves(p2)
+        ]
+        o1 = m1.apply(p1, const, None, prog)
+        o2 = m2.apply(p1, const, None, prog)
+        np.testing.assert_allclose(o1, o2, atol=2e-2, rtol=2e-2)
+
+    def test_mgn_stencil_mean_aggregation(self):
+        from dlwpbench_tpu.models.mgn import MeshGraphNet
+
+        r = np.random.default_rng(6)
+        kw = dict(
+            graph_type="grid_2d", processor_size=1, hidden_dim_processor=8,
+            hidden_dim_node_encoder=8, hidden_dim_edge_encoder=8,
+            hidden_dim_node_decoder=8, constant_channels=1,
+            prescribed_channels=0, prognostic_channels=1, aggregation="mean",
+        )
+        m1 = MeshGraphNet(movement_impl="edge_list", **kw)
+        m2 = MeshGraphNet(movement_impl="auto", **kw)
+        const = jnp.asarray(r.standard_normal((1, 1, 1, 4, 8)), jnp.float32)
+        prog = jnp.asarray(r.standard_normal((1, 2, 1, 4, 8)), jnp.float32)
+        p = m1.init(jax.random.PRNGKey(1), const, None, prog)
+        o1 = m1.apply(p, const, None, prog)
+        o2 = m2.apply(p, const, None, prog)
+        np.testing.assert_allclose(o1, o2, atol=1e-4, rtol=1e-4)
+
+    def test_graphcast_onehot_matches_gather(self):
+        from dlwpbench_tpu.models.graphcast import GraphCastNet
+
+        r = np.random.default_rng(7)
+        gc1 = GraphCastNet(
+            input_height=8, input_width=16, mesh_level=1, processor_layers=2,
+            hidden_dim=16, constant_channels=2, prescribed_channels=0,
+            prognostic_channels=1, movement_impl="gather",
+        )
+        gc2 = gc1.clone(movement_impl="onehot")
+        const = jnp.asarray(r.standard_normal((1, 1, 2, 8, 16)), jnp.float32)
+        prog = jnp.asarray(r.standard_normal((1, 3, 1, 8, 16)), jnp.float32)
+        p = gc1.init(jax.random.PRNGKey(0), const, None, prog)
+        o1 = gc1.apply(p, const, None, prog)
+        o2 = gc2.apply(p, const, None, prog)
+        np.testing.assert_allclose(o1, o2, atol=5e-2, rtol=5e-2)
