@@ -29,6 +29,49 @@ class TestFlashWindowAttention:
         )
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    def test_panel_and_streaming_paths_agree(self):
+        """The resident-panel kernels (N 128-aligned, panels fit VMEM) and
+        the grid-block streaming kernels must agree with the oracle AND
+        each other, forward and backward (`_panel_blocks` dispatch)."""
+        import dlwpbench_tpu.ops.pallas_attention as pa
+
+        assert pa._panel_blocks(256, 32) is not None
+        assert pa._panel_blocks(300, 32) is None      # unaligned
+        assert pa._panel_blocks(16200, 32) is None    # unaligned + huge
+        assert pa._panel_blocks(8192, 32) is None     # VMEM overflow
+
+        B, H, N, D = 2, 2, 256, 32
+        r = np.random.default_rng(11)
+        q = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        v = jnp.asarray(r.standard_normal((B, H, N, D)), jnp.float32)
+        bias = jnp.asarray(0.1 * r.standard_normal((1, H, N, N)), jnp.float32)
+
+        # panel path (dispatched automatically for this shape)
+        out_p = pa.flash_window_attention(q, k, v, bias, interpret=True)
+        # streaming path, forced by monkeypatching the dispatcher
+        orig = pa._panel_blocks
+        pa._panel_blocks = lambda n, d: None
+        try:
+            pa._flash_impl.clear_cache()
+            out_s = pa.flash_window_attention(q, k, v, bias, interpret=True)
+            g_s = jax.grad(
+                lambda q: jnp.sum(
+                    pa.flash_window_attention(q, k, v, bias, interpret=True)
+                    ** 2
+                )
+            )(q)
+        finally:
+            pa._panel_blocks = orig
+            pa._flash_impl.clear_cache()
+        g_p = jax.grad(
+            lambda q: jnp.sum(
+                pa.flash_window_attention(q, k, v, bias, interpret=True) ** 2
+            )
+        )(q)
+        np.testing.assert_allclose(out_p, out_s, rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(g_p, g_s, rtol=2e-4, atol=2e-4)
+
     def test_mask_in_bias(self):
         """-100 shift-mask entries (as Swin folds them into bias) behave."""
         from dlwpbench_tpu.ops.pallas_attention import (
