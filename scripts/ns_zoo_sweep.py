@@ -29,7 +29,10 @@ FAMILIES = {
     "swin": ("swintransformer", []),
     "pangu": ("panguweather", []),
     "mgn": ("meshgraphnet", []),
-    "graphcast": ("graphcast", []),
+    # the WeatherBench-scale default (512 hidden x 16 layers) is oversized
+    # for the 64x64 single-channel NS track; match the other families' scale
+    "graphcast": ("graphcast", ["model.hidden_dim=128",
+                                "model.processor_layers=6"]),
 }
 
 COMMON = [
