@@ -73,12 +73,17 @@ def _panel_blocks(n: int, d: int) -> tuple[int, int] | None:
     remains the fallback for unaligned or VMEM-overflowing N."""
     if n % 128 != 0:
         return None
+    # Mosaic double-buffers every grid-indexed input and pads the head dim
+    # to the 128-lane tile, so the binding constraint is the PADDED K/V
+    # panel: n * round_up(d, 128).  1 MB (N=2048 at d<=128) is measured
+    # safe for fwd AND both backward kernels; N=4096 at d=24 (1.9 MB
+    # padded) overflows the 16 MB scoped-vmem stack.
+    d_pad = -(-d // 128) * 128
+    if n * d_pad * 4 > 2**20:
+        return None
     for bq in (256, 128):
-        if n % bq:
-            continue
-        bk = 256 if n % 256 == 0 else 128
-        panel_bytes = (2 * n * d + 2 * bq * n) * 4
-        if panel_bytes * 2 <= 12 * 2**20:
+        if n % bq == 0:
+            bk = 256 if n % 256 == 0 else 128
             return bq, bk
     return None
 
