@@ -30,7 +30,7 @@ import numpy as np
 from flax import linen as nn
 
 from dlwpbench_tpu.models.base import RolloutModel
-from dlwpbench_tpu.ops.sht import isht, sht, sht_tables
+from dlwpbench_tpu.ops.sht import isht, isht_real, sht, sht_real, sht_tables
 
 
 class SphericalConv(nn.Module):
@@ -50,6 +50,11 @@ class SphericalConv(nn.Module):
     mmax: int | None = None
     spmd_mesh: Any = None
     dist_axis: str = "x"
+    # "matmul" (default, single-device): SHT pair with the longitude DFT as
+    # real einsums — the whole spherical conv lowers to MXU matmuls, no
+    # complex dtype and no XLA FFT op (overhead-bound at weather-grid
+    # sizes).  "fft": jnp.fft path (always used when spmd_mesh is set).
+    fft_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -61,6 +66,17 @@ class SphericalConv(nn.Module):
             "weight",
             lambda k: scale * jax.random.normal(k, (Cin, self.features, t.lmax, 2)),
         )
+        if self.spmd_mesh is None and self.fft_impl == "matmul":
+            ar, ai = sht_real(jnp.moveaxis(x, -1, 1), t)  # [B, C, l, m]
+            wr, wi = w[..., 0], w[..., 1]
+            our = jnp.einsum("bilm,iol->bolm", ar, wr) - jnp.einsum(
+                "bilm,iol->bolm", ai, wi
+            )
+            oui = jnp.einsum("bilm,iol->bolm", ar, wi) + jnp.einsum(
+                "bilm,iol->bolm", ai, wr
+            )
+            y = isht_real(our, oui, t)  # [B, Cout, H, W]
+            return jnp.moveaxis(y, 1, -1).astype(x.dtype)
         if self.spmd_mesh is not None:
             from dlwpbench_tpu.parallel.sht_dist import make_dist_sht
 
@@ -100,6 +116,7 @@ class SFNO2DModule(RolloutModel):
     mesh: str = "equirectangular"
     spmd_mesh: Any = None  # jax Mesh: distribute the SHTs over `dist_axis`
     dist_axis: str = "x"
+    fft_impl: str = "matmul"  # see SphericalConv.fft_impl
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -124,6 +141,7 @@ class SFNO2DModule(RolloutModel):
             y = SphericalConv(
                 D, nlat=H, nlon=W, grid=self.grid, lmax=lmax,
                 spmd_mesh=self.spmd_mesh, dist_axis=self.dist_axis,
+                fft_impl=self.fft_impl,
             )(x)
             y = y + nn.Dense(D)(x)  # inner skip
             x = nn.gelu(y)

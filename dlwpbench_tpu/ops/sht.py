@@ -142,6 +142,63 @@ def sht_tables(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _lon_dft_tables(nlon: int, mmax: int):
+    """Longitude DFT as real matrices (norm="forward" rfft convention).
+
+    Returns (cr, ci, icr, ici):
+      forward  X_m = f @ (cr + i*ci):        cr/ci  [nlon, mmax]
+      inverse  f   = Xr @ icr + Xi @ ici:    icr/ici [mmax, nlon]
+    matching jnp.fft.rfft/irfft(norm="forward") restricted to the first
+    `mmax` frequencies (hermitian doubling folded into the inverse, so a
+    truncated band needs no zero-padding).
+    """
+    k = np.arange(nlon)[:, None]
+    m = np.arange(mmax)[None, :]
+    ang = 2.0 * np.pi * k * m / nlon
+    cr = (np.cos(ang) / nlon).astype(np.float32)
+    ci = (-np.sin(ang) / nlon).astype(np.float32)
+    alpha = np.full(mmax, 2.0)
+    alpha[0] = 1.0
+    if nlon % 2 == 0 and mmax == nlon // 2 + 1:
+        alpha[-1] = 1.0
+    icr = (alpha[:, None] * np.cos(ang.T)).astype(np.float32)
+    ici = (-alpha[:, None] * np.sin(ang.T)).astype(np.float32)
+    return cr, ci, icr, ici
+
+
+def sht_real(
+    f: jax.Array, tables: SHTTables
+) -> tuple[jax.Array, jax.Array]:
+    """Forward SHT with the longitude DFT as real matmuls (no complex dtype,
+    no XLA FFT op — everything lowers to MXU contractions and fuses).
+
+    f: [..., nlat, nlon] real -> (ar, ai) each [..., lmax, mmax].
+    Numerically identical to `sht` (which uses jnp.fft.rfft); preferred on
+    TPU where the FFT op is overhead-bound at weather-grid sizes (see
+    `ops/spectral.py` and `results/fourcastnet_analysis.md`).
+    """
+    cr, ci, icr, ici = (jnp.asarray(m) for m in _lon_dft_tables(tables.nlon, tables.mmax))
+    f = f.astype(jnp.float32)
+    Xr = jnp.einsum("...jk,km->...jm", f, cr)
+    Xi = jnp.einsum("...jk,km->...jm", f, ci)
+    fwd = jnp.asarray(tables.fwd)  # [mmax, nlat, lmax]
+    ar = jnp.einsum("...jm,mjl->...lm", Xr, fwd)
+    ai = jnp.einsum("...jm,mjl->...lm", Xi, fwd)
+    return ar, ai
+
+
+def isht_real(ar: jax.Array, ai: jax.Array, tables: SHTTables) -> jax.Array:
+    """Inverse of `sht_real`: (ar, ai) [..., lmax, mmax] -> [..., nlat, nlon]."""
+    cr, ci, icr, ici = (jnp.asarray(m) for m in _lon_dft_tables(tables.nlon, tables.mmax))
+    inv = jnp.asarray(tables.inv)  # [mmax, lmax, nlat]
+    Xr = jnp.einsum("...lm,mlj->...jm", ar, inv)
+    Xi = jnp.einsum("...lm,mlj->...jm", ai, inv)
+    return jnp.einsum("...jm,mk->...jk", Xr, icr) + jnp.einsum(
+        "...jm,mk->...jk", Xi, ici
+    )
+
+
 def sht(f: jax.Array, tables: SHTTables) -> jax.Array:
     """Forward real SHT.  f: [..., nlat, nlon] real -> [..., lmax, mmax] cplx."""
     X = jnp.fft.rfft(f.astype(jnp.float32), axis=-1, norm="forward")

@@ -19,6 +19,8 @@ like the reference).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -107,6 +109,36 @@ def irfft2_matmul(
     )
 
 
+@functools.lru_cache(maxsize=None)
+def _band_dft_mats(H: int, W: int, m1: int, m2: int):
+    """Truncated ortho rfft2 matrices for FNO's kept corner bands.
+
+    The FNO layer only reads spectral rows [:m1] + [-m1:] and cols [:m2];
+    computing just those bands as real matmuls removes the full-spectrum
+    FFT, the gather, and the `.at[].set` scatter (and their transposes in
+    the backward pass).  Returns (cw, sw, ch, sh, icw, isw):
+      W-axis forward [W, m2], H-axis forward rows [2*m1, H],
+      W-axis inverse [m2, W] with hermitian doubling.
+    """
+    w = np.arange(W)[:, None]
+    k = np.arange(m2)[None, :]
+    angw = 2 * np.pi * w * k / W
+    cw = (np.cos(angw) / np.sqrt(W)).astype(np.float32)
+    sw = (-np.sin(angw) / np.sqrt(W)).astype(np.float32)
+    g = np.concatenate([np.arange(m1), np.arange(H - m1, H)])[:, None]
+    h = np.arange(H)[None, :]
+    angh = 2 * np.pi * g * h / H
+    ch = (np.cos(angh) / np.sqrt(H)).astype(np.float32)
+    sh = (np.sin(angh) / np.sqrt(H)).astype(np.float32)
+    alpha = np.full(m2, 2.0)
+    alpha[0] = 1.0
+    if W % 2 == 0 and m2 == W // 2 + 1:
+        alpha[-1] = 1.0
+    icw = (alpha[:, None] * np.cos(angw.T) / np.sqrt(W)).astype(np.float32)
+    isw = (-alpha[:, None] * np.sin(angw.T) / np.sqrt(W)).astype(np.float32)
+    return cw, sw, ch, sh, icw, isw
+
+
 def _tucker_core_dims(dims: tuple[int, ...], rank: float) -> tuple[int, ...]:
     """Core sizes for a float Tucker rank, matching tensorly's
     `validate_tucker_rank` semantics (the rule neuraloperator's TFNO uses,
@@ -148,6 +180,14 @@ class SpectralConv2d(nn.Module):
     modes1: int = 12
     modes2: int = 12
     tucker_rank: float | None = None
+    # "matmul" (default): compute ONLY the kept corner bands via truncated
+    # real DFT matmuls — no XLA FFT op (overhead-bound at these sizes, see
+    # `results/fourcastnet_analysis.md`), no complex dtype, and no
+    # full-spectrum scatter in either autodiff direction.  "fft": the
+    # jnp.fft.rfft2 path (numerically identical — the per-mode mixing is
+    # linear, so the ortho-vs-default norm factor cancels through the
+    # inverse).
+    fft_impl: str = "matmul"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -182,6 +222,58 @@ class SpectralConv2d(nn.Module):
 
         w1 = weight("weights1")
         w2 = weight("weights2")
+
+        def mix_real(br, bi, w):
+            # (br, bi): [B, m1, m2, Cin] real/imag planes of the band.
+            if isinstance(w, tuple):
+                core, (fi, fo, fx, fy) = w
+
+                def tuck(b, c):
+                    return jnp.einsum(
+                        "bxyi,wquv,iw,oq,xu,yv->bxyo",
+                        b, c, fi, fo, fx, fy, optimize=True,
+                    )
+
+                cr, ci_ = core[..., 0], core[..., 1]
+                return (
+                    tuck(br, cr) - tuck(bi, ci_),
+                    tuck(br, ci_) + tuck(bi, cr),
+                )
+            wr, wi = w[..., 0], w[..., 1]
+            return (
+                jnp.einsum("bxyi,ioxy->bxyo", br, wr)
+                - jnp.einsum("bxyi,ioxy->bxyo", bi, wi),
+                jnp.einsum("bxyi,ioxy->bxyo", br, wi)
+                + jnp.einsum("bxyi,ioxy->bxyo", bi, wr),
+            )
+
+        if self.fft_impl == "matmul" and 2 * m1 <= H:
+            cw, sw, ch, sh, icw, isw = (
+                jnp.asarray(m) for m in _band_dft_mats(H, W, m1, m2)
+            )
+            xf = x.astype(jnp.float32)
+            xr = jnp.einsum("bhwc,wk->bhkc", xf, cw)  # [B, H, m2, C]
+            xi = jnp.einsum("bhwc,wk->bhkc", xf, sw)
+            yr = jnp.einsum("gh,bhkc->bgkc", ch, xr) + jnp.einsum(
+                "gh,bhkc->bgkc", sh, xi
+            )
+            yi = jnp.einsum("gh,bhkc->bgkc", ch, xi) - jnp.einsum(
+                "gh,bhkc->bgkc", sh, xr
+            )
+            tr, ti = mix_real(yr[:, :m1], yi[:, :m1], w1)
+            br_, bi_ = mix_real(yr[:, m1:], yi[:, m1:], w2)
+            or_ = jnp.concatenate([tr, br_], axis=1)  # [B, 2*m1, m2, Cout]
+            oi_ = jnp.concatenate([ti, bi_], axis=1)
+            zr = jnp.einsum("gh,bgkc->bhkc", ch, or_) - jnp.einsum(
+                "gh,bgkc->bhkc", sh, oi_
+            )
+            zi = jnp.einsum("gh,bgkc->bhkc", ch, oi_) + jnp.einsum(
+                "gh,bgkc->bhkc", sh, or_
+            )
+            out = jnp.einsum("bhkc,kw->bhwc", zr, icw) + jnp.einsum(
+                "bhkc,kw->bhwc", zi, isw
+            )
+            return out.astype(x.dtype)
 
         x_ft = jnp.fft.rfft2(x.astype(jnp.float32), axes=(1, 2))  # [B,H,Wf,C]
 

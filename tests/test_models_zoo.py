@@ -189,6 +189,28 @@ class TestSpectralOps:
         assert np.abs(yf[:, 4:-4, 1:, :]).max() < 1e-4
         assert np.abs(yf[:, :, 4:, :]).max() < 1e-4
 
+    def test_spectral_conv_matmul_equals_fft(self):
+        """The truncated-band matmul-DFT path must match jnp.fft exactly
+        (fwd AND grads), dense and Tucker — the per-mode mixing is linear,
+        so the ortho-vs-default norm factor cancels through the inverse."""
+        from dlwpbench_tpu.ops.spectral import SpectralConv2d
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 32, 5))
+        for rank in (None, 0.8):
+            mf = SpectralConv2d(7, 6, 6, tucker_rank=rank, fft_impl="fft")
+            mm = SpectralConv2d(7, 6, 6, tucker_rank=rank, fft_impl="matmul")
+            params = mf.init(jax.random.PRNGKey(1), x)
+            yf, ym = mf.apply(params, x), mm.apply(params, x)
+            np.testing.assert_allclose(
+                np.asarray(yf), np.asarray(ym), atol=2e-6
+            )
+            gf = jax.grad(lambda p, m=mf: (m.apply(p, x) ** 2).sum())(params)
+            gm = jax.grad(lambda p, m=mm: (m.apply(p, x) ** 2).sum())(params)
+            for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gm)):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=5e-5
+                )
+
     def test_afno_filter_residual(self):
         """Zero weights -> output reduces to input (+ bias path only)."""
         from dlwpbench_tpu.ops.spectral import AFNO2DFilter

@@ -100,6 +100,53 @@ class TestSHTAnalytic:
         assert grid_energy == pytest.approx(coeff_energy, rel=1e-3)
 
 
+@pytest.mark.parametrize("grid", ["legendre-gauss", "equiangular"])
+def test_sht_real_matches_complex(grid):
+    """The all-real matmul-DFT SHT pair (`sht_real`/`isht_real`) must match
+    the jnp.fft path exactly — it is the default compute path for SFNO."""
+    t = shtmod.sht_tables(16, 32, grid=grid)
+    rng = np.random.default_rng(3)
+    f = np.asarray(rng.standard_normal((2, 3, 16, 32)), np.float32)
+    a = np.asarray(shtmod.sht(f, t))
+    ar, ai = (np.asarray(v) for v in shtmod.sht_real(f, t))
+    np.testing.assert_allclose(a.real, ar, atol=2e-6)
+    np.testing.assert_allclose(a.imag, ai, atol=2e-6)
+    g1 = np.asarray(shtmod.isht(a, t))
+    g2 = np.asarray(shtmod.isht_real(ar, ai, t))
+    np.testing.assert_allclose(g1, g2, atol=5e-6)
+
+
+def test_sfno_matmul_path_matches_fft():
+    """SFNO2DModule(fft_impl='matmul') — the default — must reproduce the
+    complex-FFT path through the full rollout, fwd and grad."""
+    import jax
+    import jax.numpy as jnp
+
+    from dlwpbench_tpu.models.sfno import SFNO2DModule
+
+    kw = dict(
+        constant_channels=2, prescribed_channels=1, prognostic_channels=3,
+        embed_dim=16, num_layers=2, height=16, width=32, context_size=1,
+    )
+    mf = SFNO2DModule(fft_impl="fft", **kw)
+    mm = SFNO2DModule(fft_impl="matmul", **kw)
+    k = jax.random.PRNGKey(0)
+    c = jax.random.normal(k, (1, 1, 2, 16, 32))
+    pre = jax.random.normal(jax.random.PRNGKey(1), (1, 4, 1, 16, 32))
+    pro = jax.random.normal(jax.random.PRNGKey(2), (1, 4, 3, 16, 32))
+    params = mf.init(k, c, pre, pro)
+    yf = mf.apply(params, c, pre, pro)
+    ym = mm.apply(params, c, pre, pro)
+    np.testing.assert_allclose(
+        np.asarray(yf), np.asarray(ym), atol=2e-5, rtol=1e-5
+    )
+    gf = jax.grad(lambda p: (mf.apply(p, c, pre, pro) ** 2).mean())(params)
+    gm = jax.grad(lambda p: (mm.apply(p, c, pre, pro) ** 2).mean())(params)
+    for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gm)):
+        scale = max(1e-3, float(jnp.abs(a).max()))
+        assert float(jnp.abs(a - b).max()) / scale < 1e-4
+
+
 def test_quadrature_weights_integrate_sin():
     for nodes in [shtmod.gauss_legendre, shtmod.equiangular_midpoint]:
         theta, w = nodes(32)
