@@ -32,6 +32,7 @@ class FNOCore(nn.Module):
     n_layers: int = 4
     tucker_rank: float | None = None
     use_bias: bool = True
+    fft_impl: str = "matmul"  # see SpectralConv2d.fft_impl
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -45,6 +46,7 @@ class FNOCore(nn.Module):
                 modes1=int(self.n_modes[0]),
                 modes2=int(self.n_modes[1]),
                 tucker_rank=self.tucker_rank,
+                fft_impl=self.fft_impl,
             )(x)
             y = y + nn.Dense(self.hidden_channels, use_bias=self.use_bias)(x)
             x = nn.gelu(y) if i < self.n_layers - 1 else y
@@ -69,6 +71,7 @@ class FNO2DModule(RolloutModel):
     bias: bool = True
     context_size: int = 1
     mesh: str = "equirectangular"
+    fft_impl: str = "matmul"  # see SpectralConv2d.fft_impl
     _tucker: bool = False
 
     @nn.compact
@@ -82,6 +85,7 @@ class FNO2DModule(RolloutModel):
             n_layers=self.n_layers,
             tucker_rank=self.rank if self._tucker else None,
             use_bias=self.bias,
+            fft_impl=self.fft_impl,
         )(x)
         return out, state
 

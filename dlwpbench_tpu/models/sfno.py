@@ -69,6 +69,11 @@ class SphericalConv(nn.Module):
         if self.spmd_mesh is None and self.fft_impl == "matmul":
             ar, ai = sht_real(jnp.moveaxis(x, -1, 1), t)  # [B, C, l, m]
             wr, wi = w[..., 0], w[..., 1]
+            # Four separate per-degree einsums, NOT a packed [2C, 2C]
+            # block GEMM: packing measured 1.4x SLOWER at the 64M/128M
+            # rungs — the [[wr, wi], [-wi, wr]] weight materializes a 4x
+            # tensor (231 MB at 128M params) whose HBM traffic (and
+            # concat-transpose gradient) outweighs the saved op dispatches.
             our = jnp.einsum("bilm,iol->bolm", ar, wr) - jnp.einsum(
                 "bilm,iol->bolm", ai, wi
             )
