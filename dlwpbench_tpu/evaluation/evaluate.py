@@ -148,13 +148,26 @@ def compute_metrics(
 
 
 def _write_netcdf_or_npz(out_dir, name, per_var: dict, var_names):
+    """Metric curves -> `<name>.nc` (reference `evaluate.py:797-803` writes
+    rmses.nc/accs.nc).  Prefers xarray when installed; otherwise the
+    first-party scipy netCDF3 writer; npz only if both are unavailable."""
+    data = {
+        v: (("time",), np.asarray(per_var[v]))
+        for v in var_names
+        if v in per_var
+    }
     try:
         import xarray as xr
 
-        ds = xr.Dataset(
-            {v: ("time", np.asarray(per_var[v])) for v in var_names if v in per_var}
-        )
+        ds = xr.Dataset({v: (dims, arr) for v, (dims, arr) in data.items()})
         ds.to_netcdf(os.path.join(out_dir, f"{name}.nc"))
+        return
+    except ImportError:
+        pass
+    try:
+        from dlwpbench_tpu.utils import netcdf3
+
+        netcdf3.write_dataset(os.path.join(out_dir, f"{name}.nc"), data)
     except Exception:
         np.savez(os.path.join(out_dir, f"{name}.npz"), **per_var)
 
@@ -173,26 +186,37 @@ def write_forecast_files(out_dir, inits, outputs, targets, var_names, lats, lons
                 f"({'with' if tdim else 'no'} time dim), got shape "
                 f"{arr.shape}; remap HEALPix output before writing"
             )
+    def var_dict(arr, tdim):
+        dims = ("sample", "time", "lat", "lon") if tdim else ("sample", "lat", "lon")
+        return {
+            v: (dims, arr[:, :, i] if tdim else arr[:, i])
+            for i, v in enumerate(var_names)
+        }
+
+    coords = {"lat": np.asarray(lats), "lon": np.asarray(lons)}
+    files = [
+        ("inits.nc", var_dict(inits, False)),
+        ("outputs.nc", var_dict(outputs, True)),
+        ("targets.nc", var_dict(targets, True)),
+    ]
     try:
         import xarray as xr
 
-        def mk(arr, tdim):
-            data_vars = {}
-            for i, v in enumerate(var_names):
-                if tdim:
-                    data_vars[v] = (
-                        ("sample", "time", "lat", "lon"), arr[:, :, i]
-                    )
-                else:
-                    data_vars[v] = (("sample", "lat", "lon"), arr[:, i])
-            return xr.Dataset(
-                data_vars, coords={"lat": lats, "lon": lons}
-            )
+        for fname, data_vars in files:
+            xr.Dataset(
+                {v: (d, a) for v, (d, a) in data_vars.items()}, coords=coords
+            ).to_netcdf(os.path.join(out_dir, fname))
+        return
+    except ImportError:
+        pass
+    try:
+        from dlwpbench_tpu.utils import netcdf3
 
-        mk(inits, False).to_netcdf(os.path.join(out_dir, "inits.nc"))
-        mk(outputs, True).to_netcdf(os.path.join(out_dir, "outputs.nc"))
-        mk(targets, True).to_netcdf(os.path.join(out_dir, "targets.nc"))
-    except Exception as e:  # pragma: no cover - xarray should exist
+        for fname, data_vars in files:
+            netcdf3.write_dataset(
+                os.path.join(out_dir, fname), data_vars, coords=coords
+            )
+    except Exception:  # pragma: no cover - scipy is baked into this image
         np.savez(
             os.path.join(out_dir, "forecast.npz"),
             inits=inits,

@@ -40,14 +40,14 @@ def _load_eval(run_dir):
         z = np.load(fnpz)
         arrays = {k: z[k] for k in ("inits", "outputs", "targets")}
     else:
-        try:  # netcdf path when xarray is present
-            import xarray as xr
+        try:  # netcdf path (xarray- and scipy-written files alike)
+            from dlwpbench_tpu.utils.netcdf3 import read_dataset
 
             arrays = {}
             for k in ("inits", "outputs", "targets"):
-                ds = xr.open_dataset(os.path.join(ed, f"{k}.nc"))
+                data, _ = read_dataset(os.path.join(ed, f"{k}.nc"))
                 arrays[k] = np.stack(
-                    [ds[v].values for v in metrics["variables"]], axis=-3
+                    [data[v] for v in metrics["variables"]], axis=-3
                 )
         except Exception:
             arrays = None

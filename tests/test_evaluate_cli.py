@@ -62,8 +62,20 @@ class TestEvaluateCLI:
         )
         std = next(iter(stats.values())).std
         assert rmse0.mean() > 0.05 * std
-        assert os.path.exists(os.path.join(out_dir, "forecast.npz")) or \
-            os.path.exists(os.path.join(out_dir, "outputs.nc"))
+        # real netCDF artifacts in this image (reference evaluate.py:320-416
+        # writes inits/outputs/targets.nc; rmses.nc at :797-803) — the
+        # first-party scipy-netCDF3 writer runs when xarray is absent
+        from dlwpbench_tpu.utils.netcdf3 import read_dataset
+
+        data, dims = read_dataset(os.path.join(out_dir, "outputs.nc"))
+        v0 = m["variables"][0]
+        assert dims[v0] == ("sample", "time", "lat", "lon")
+        assert data[v0].ndim == 4 and np.isfinite(data[v0]).all()
+        assert data["lat"].shape[0] == data[v0].shape[2]
+        for stem in ("inits", "targets", "rmses"):
+            assert os.path.exists(os.path.join(out_dir, f"{stem}.nc")), stem
+        rm, _ = read_dataset(os.path.join(out_dir, "rmses.nc"))
+        np.testing.assert_allclose(rm[v0], rmse0, rtol=1e-6)
 
     def test_healpix_run_remaps_to_latlon(self, tmp_path, monkeypatch):
         """The HPX branch executes: 6-D rollout output is remapped to
@@ -82,8 +94,12 @@ class TestEvaluateCLI:
         out_dir = os.path.join(run_dir, "evaluation")
         m = json.load(open(os.path.join(out_dir, "metrics.json")))
         assert all(np.isfinite(v).all() for v in m["rmse"].values())
-        data = np.load(os.path.join(out_dir, "forecast.npz"))
-        assert data["outputs"].ndim == 5  # lat-lon, faces remapped away
+        from dlwpbench_tpu.utils.netcdf3 import read_dataset
+
+        data, dims = read_dataset(os.path.join(out_dir, "outputs.nc"))
+        v0 = m["variables"][0]
+        # lat-lon dims: faces remapped away before writing
+        assert dims[v0] == ("sample", "time", "lat", "lon")
 
 
 class TestBaselinesCLI:
