@@ -50,6 +50,15 @@ class SphericalConv(nn.Module):
     mmax: int | None = None
     spmd_mesh: Any = None
     dist_axis: str = "x"
+    # distributed-schedule knobs (parallel/sht_dist.py): channel chunks
+    # whose transposes overlap the Legendre contractions (numerics
+    # identical), and bf16 transpose payloads (half the ICI bytes; one
+    # rounding of the spectral coefficients).  "auto" follows the
+    # activation dtype — under the trainer's bf16 recipe the fields are
+    # already bf16, so shipping bf16 payloads adds no precision loss the
+    # training run has not accepted; fp32 runs keep fp32 transposes.
+    dist_pipeline_chunks: int = 4
+    dist_comm_bf16: Any = "auto"
     # "matmul" (default, single-device): SHT pair with the longitude DFT as
     # real einsums — the whole spherical conv lowers to MXU matmuls, no
     # complex dtype and no XLA FFT op (overhead-bound at weather-grid
@@ -85,8 +94,15 @@ class SphericalConv(nn.Module):
         if self.spmd_mesh is not None:
             from dlwpbench_tpu.parallel.sht_dist import make_dist_sht
 
+            bf16_comm = (
+                self.dist_comm_bf16 is True
+                or (self.dist_comm_bf16 == "auto"
+                    and x.dtype == jnp.bfloat16)
+            )
             fwd, inv = make_dist_sht(
-                self.spmd_mesh, t, ndim=4, axis_name=self.dist_axis
+                self.spmd_mesh, t, ndim=4, axis_name=self.dist_axis,
+                pipeline_chunks=self.dist_pipeline_chunks,
+                comm_dtype=jnp.bfloat16 if bf16_comm else None,
             )
         else:
             fwd = lambda f: sht(f, t)

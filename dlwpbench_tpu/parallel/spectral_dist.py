@@ -45,17 +45,46 @@ from dlwpbench_tpu.parallel.sht_dist import dist_isht, dist_sht
 
 
 def dist_spherical_conv(
-    f_local: jax.Array, w: jax.Array, tables: SHTTables, axis_name: str
+    f_local: jax.Array,
+    w: jax.Array,
+    tables: SHTTables,
+    axis_name: str,
+    pipeline_chunks: int = 1,
+    comm_dtype=None,
 ) -> jax.Array:
     """Driscoll-Healy spherical conv on latitude-sharded fields.
 
     f_local: [..., C, nlat/P, nlon] real; w: [C, Cout, lmax] complex
     (shared across m — an isotropic spherical convolution).
-    Returns [..., Cout, nlat/P, nlon].
+    Returns [..., Cout, nlat/P, nlon].  `pipeline_chunks`/`comm_dtype`
+    select the overlapped transpose schedule (`sht_dist` docstring).
+
+    With `pipeline_chunks=K`, the mixing einsum is ALSO chunked over input
+    channels as K partial sums — so the transpose of chunk k+1 has a full
+    analysis-einsum + mixer-partial window of independent compute to hide
+    behind, not just the (small) Legendre contraction.  The inverse
+    transform chunks over output channels symmetrically.  Identical math;
+    only the fp additions of the partial sums reassociate.
     """
-    a = dist_sht(f_local, tables, axis_name)  # [..., C, lmax, m_loc]
-    out = jnp.einsum("...ilm,iol->...olm", a, w.astype(a.dtype))
-    return dist_isht(out, tables, axis_name)
+    if pipeline_chunks <= 1:
+        a = dist_sht(f_local, tables, axis_name, comm_dtype=comm_dtype)
+        out = jnp.einsum("...ilm,iol->...olm", a, w.astype(a.dtype))
+        return dist_isht(out, tables, axis_name, comm_dtype=comm_dtype)
+
+    from dlwpbench_tpu.parallel.sht_dist import _chunk_starts
+
+    out = None
+    for s, n in _chunk_starts(f_local.shape[-3], pipeline_chunks):
+        a_k = dist_sht(
+            lax.slice_in_dim(f_local, s, s + n, axis=-3),
+            tables, axis_name, comm_dtype=comm_dtype,
+        )
+        p_k = jnp.einsum(
+            "...ilm,iol->...olm", a_k, w[s : s + n].astype(a_k.dtype)
+        )
+        out = p_k if out is None else out + p_k
+    return dist_isht(out, tables, axis_name,
+                     pipeline_chunks=pipeline_chunks, comm_dtype=comm_dtype)
 
 
 def dist_afno_filter(
@@ -142,7 +171,8 @@ def dist_afno_filter(
 
 
 def make_dist_spherical_conv(
-    mesh: Mesh, tables: SHTTables, ndim: int = 4, axis_name: str = "x"
+    mesh: Mesh, tables: SHTTables, ndim: int = 4, axis_name: str = "x",
+    pipeline_chunks: int = 1, comm_dtype=None,
 ):
     """Standalone wrapper on globally sharded [..., C, nlat, nlon] fields
     (latitude sharded over `axis_name`; weights replicated)."""
@@ -150,7 +180,10 @@ def make_dist_spherical_conv(
 
     lead = [None] * (ndim - 2)
     return shard_map(
-        functools.partial(dist_spherical_conv, tables=tables, axis_name=axis_name),
+        functools.partial(
+            dist_spherical_conv, tables=tables, axis_name=axis_name,
+            pipeline_chunks=pipeline_chunks, comm_dtype=comm_dtype,
+        ),
         mesh=mesh,
         in_specs=(P(*lead, axis_name, None), P(None, None, None)),
         out_specs=P(*lead, axis_name, None),

@@ -1,26 +1,81 @@
 #!/usr/bin/env python
-"""Analytic multi-chip scaling model for the flagship families.
+"""Analytic multi-chip scaling model for the flagship families (round 4).
 
 Real multi-chip hardware is not reachable from this rig (one v5e chip via
 a relay), so the BASELINE's >=80%-efficiency-on-a-v5p-slice target cannot
-be *measured* here.  This model is the honest substitute the round-1
-VERDICT asked for: it combines MEASURED single-chip step times
+be *measured* here.  This model combines MEASURED single-chip step times
 (results/ladder.json) with an analytic communication model of each
-family's distributed design (parallel/), on published TPU link numbers,
-to predict per-strategy scaling efficiency.  The virtual-CPU-mesh numbers
-(results/scaling_virtual_mesh.json) check functional correctness only.
+family's distributed design (parallel/), on published TPU link numbers.
+
+Round-4 changes, addressing VERDICT r3 weak #3:
+
+1. **Why round 3's SFNO efficiency looked resolution-independent**: both
+   its comm term (activations transposed, ~H*W*C bytes) and its compute
+   term (t1 scaled linearly with area) grew linearly in grid area, so the
+   ratio cancelled.  That was a modeling error on the compute side: the
+   Legendre contraction's FLOPs grow as O(nlat^2 * mmax * C) — CUBIC in
+   resolution at fixed aspect — so comm:compute genuinely falls with
+   resolution.  The compute term now scales by the analytic FLOP ratio of
+   the layer's parts (spectral superlinear + pointwise linear), not by
+   area alone.
+
+2. **Overlapped schedule** (implemented in `parallel/sht_dist.py` /
+   `spectral_dist.py`, oracle-tested in
+   `tests/test_parallel.py::TestDistSHTPipelined`): transposes are
+   chunked K ways over channels and each chunk's all_to_all overlaps the
+   adjacent chunk's analysis/synthesis einsum and mixer partial-sum.
+   Exposed comm = comm/K (pipeline head) + max(0, steady_comm -
+   overlappable_compute); overlappable fraction `alpha` is the
+   spectral-block share of layer FLOPs, computed from shapes.
+
+3. **Comm payload precision follows training precision**: under the
+   trainer's bf16 recipe (the benchmark default), transpose payloads ride
+   bf16 (2 B complex-component) — `SphericalConv.dist_comm_bf16="auto"`.
+   fp32 rows are reported alongside.
+
+4. **GraphCast mesh size per resolution**: the reference runs icosphere
+   level 3 at 5.625 deg (`src/dlwpbench/README.md:89`) — 642 multimesh
+   vertices, not the 41k of the level-6 mesh round 3 charged to both
+   grids.  Level 6 stays for 1.0 deg.  g2m/m2g grid-side boundary terms
+   added.
+
+5. **Mesh shape follows the workload** (the scaling-book recipe).  Two
+   regimes are reported per family:
+   - `batch-1 strong scaling` — one forecast strong-scaled over P chips
+     (round 3's only regime).  For SFNO at 5.625 deg this is
+     arithmetic-starved by construction: a 32x64x256 activation carries
+     ~0.4 FLOP/byte-moved per transpose pair, so past ~4 chips the
+     exposed comm floor dominates no matter the schedule.  The honest
+     statement is that this regime is already absurdly fast on ONE chip
+     (13 ms per 14-step rollout) and is not what anyone runs on 8.
+   - `train batch=32 hybrid mesh` — the benchmark training workload on
+     the 2D `Mesh(("data","x"))` the trainer already exposes (dryrun
+     exercises data=4 x x=2): spatial 2-way where activations are big
+     enough to need it, data-parallel across the rest, gradient
+     all-reduce costed in.  This is the deployment the >=80% BASELINE
+     bar describes.
+
+Validation: the comm byte counts are audited against the actual compiled
+HLO of the distributed spherical conv on the 8-device virtual mesh —
+`scripts/collective_microbench.py` reports per-device all-to-all bytes
+within 1% of this model's per-layer claim
+(results/collective_microbench.json, ratio_vs_model 1.00), plus a timing
+fit showing collective time is linear in bytes (R^2 > 0.98), the form
+assumed for the ICI terms.
 
 Assumptions (documented, not measured):
 - v5e: 197 bf16 TFLOP/s, 819 GB/s HBM, ~200 GB/s aggregate ICI per chip;
 - v5p: 459 bf16 TFLOP/s, 2765 GB/s HBM, ~600 GB/s aggregate ICI per chip;
-- collectives overlap nothing (worst case); latency ignored (messages are
-  MB-scale at these shapes, bandwidth-dominated).
+- collective latency ignored (messages are MB-scale, bandwidth-bound —
+  matches the microbench fit: <1.2 ms intercept on a host-RAM mesh,
+  micro-seconds on real ICI).
 
     python scripts/scaling_model.py
 """
 
 import argparse
 import json
+import math
 import os
 import sys
 
@@ -31,57 +86,95 @@ CHIPS = {
     "v5p": {"ici_gbps": 600e9, "flops_ratio_vs_v5e": 459 / 197},
 }
 
+SEQ = 15
+C_ACT = 256
+SFNO_LAYERS = 4
+GC_LAYERS = 16
+GC_DIM = 512
 
-def model_families(H, W, C_act, seq):
-    """Per-family bytes moved over ICI per *training step* on P chips.
 
-    Returns {family: fn(P) -> bytes}; 4 bytes/element fp32 (halve for bf16).
-    fwd + bwd double every exchange (the adjoint of a halo exchange /
-    all-to-all is the mirrored exchange).
+def sfno_layer_flops(H, W, C):
+    """(spectral, pointwise) FLOPs of one SFNO block — ratio feeds both the
+    compute-scaling factor and the overlappable fraction alpha."""
+    nlat, mmax, lmax = H, W // 2 + 1, H
+    legendre = 2 * 4 * nlat * mmax * lmax * C * 2   # fwd + inv contractions
+    mixer = 4 * lmax * mmax * C * C                  # per-degree channel mix
+    pointwise = 2 * 2 * H * W * C * C                # block MLP (2 layers)
+    return legendre + mixer, pointwise
+
+
+def model_families(H, W, comm_elem_bytes):
+    """{family: (comm_bytes fn(P), K pipeline chunks, alpha overlap frac)}.
+
+    comm counts cross-chip traffic per TRAINING step (fwd+bwd double every
+    exchange — the adjoint of a transpose/halo is the mirrored exchange).
     """
     B = 1  # per-chip batch after DP; spatial decomposition moves the rest
 
     def unet(P):
-        # lat-domain decomposition (parallel/mesh.py shard_batch): one
-        # 1-row halo per conv layer, ~12 conv layers over 3 levels (rows
-        # shrink 2x per level), fwd+bwd, seq steps.
         rows = 0
         for level, n in ((0, 4), (1, 4), (2, 4)):
-            rows += n * (W >> level) * C_act * (1 << level)  # C doubles as W halves
-        return seq * 2 * 2 * B * rows * 4  # 2 dirs x fwd+bwd
+            rows += n * (W >> level) * C_ACT * (1 << level)
+        return SEQ * 2 * 2 * B * rows * 4, 1, 0.0
 
     def sfno(P):
-        # distributed SHT (parallel/sht_dist.py): 2 all-to-all transposes
-        # per spherical conv, 4 layers, each moving the full activation
-        # once ((P-1)/P of it crosses chips), fwd+bwd.
-        act = B * H * W * C_act * 4
-        return seq * 2 * (2 * 4) * act * (P - 1) / max(P, 1)
+        # 2 transposes per layer per direction, payload = full activation,
+        # (P-1)/P crosses links; HLO-audited (collective_microbench.py)
+        act = B * H * W * C_ACT * comm_elem_bytes
+        comm = SEQ * 2 * (2 * SFNO_LAYERS) * act * (P - 1) / max(P, 1)
+        spec, point = sfno_layer_flops(H, W, C_ACT)
+        alpha = spec / (spec + point)
+        return comm, 4, alpha
 
     def graphcast(P):
-        # nodewise partition (parallel/graphcast_dist.py): boundary src
-        # features per processor layer; icosphere cut fraction ~ 2/sqrt(V/P)
-        # per chip -> total boundary ~ 2*sqrt(V*P).
-        V = 4 ** 6 * 10 + 2  # mesh_level 6 multimesh vertices ~ 41k
-        D = 512
-        import math
-
-        boundary = 2.0 * math.sqrt(V * P)
-        return seq * 2 * 16 * boundary * D * 4
+        # icosphere level tied to resolution (reference README.md:89:
+        # L=3 at 5.625deg); multimesh vertices = 10*4^L + 2
+        level = 3 if H <= 64 else 6
+        V = 10 * 4**level + 2
+        boundary_mesh = 2.0 * math.sqrt(V * P)
+        proc = SEQ * 2 * GC_LAYERS * boundary_mesh * GC_DIM * 4
+        # g2m scatter-in + m2g gather-out cross-partition fractions
+        boundary_grid = 2.0 * math.sqrt(H * W * P)
+        g2m = SEQ * 4 * boundary_grid * GC_DIM * 4
+        return proc + g2m, 1, 0.0
 
     def swin_ring(P):
-        # ring (context-parallel) attention (parallel/ring_attention.py):
-        # per attention call each chip sends its k+v chunk (P-1) times
-        # (ppermute rotations); the backward's ppermute adjoints mirror
-        # every rotation -> 2x.  8 attention blocks (depths 4+4), global
-        # window N = H*W, head count folded into C_act.
         N = H * W
-        per_call = 2 * B * N / max(P, 1) * C_act * 4  # k+v chunk bytes
-        return seq * 2 * 8 * per_call * (P - 1)
+        per_call = 2 * B * N / max(P, 1) * C_ACT * 4
+        return SEQ * 2 * 8 * per_call * (P - 1), 1, 0.0
 
     return {
         "unet": unet, "sfno2d": sfno, "graphcast": graphcast,
         "swin_ring": swin_ring,
     }
+
+
+def efficiency(t_comp, comm_s, K, alpha):
+    """Pipelined-overlap efficiency: K-chunk software pipeline exposes the
+    head chunk's comm plus whatever steady-state comm exceeds the
+    overlappable compute window."""
+    if comm_s <= 0:
+        return 1.0
+    if K <= 1:
+        return t_comp / (t_comp + comm_s)
+    steady = comm_s * (K - 1) / K
+    capacity = alpha * t_comp * (K - 1) / K
+    exposed = comm_s / K + max(0.0, steady - capacity)
+    return t_comp / (t_comp + exposed)
+
+
+def compute_scale(fam, H, W):
+    """t1(grid) / t1(32x64): per-part FLOP scaling, not plain area."""
+    area = (H * W) / (32 * 64)
+    if fam == "sfno2d":
+        s0, p0 = sfno_layer_flops(32, 64, C_ACT)
+        s1, p1 = sfno_layer_flops(H, W, C_ACT)
+        return (s1 + p1) / (s0 + p0)
+    if fam == "swin_ring":
+        # global-window attention is O(N^2); assume ~50/50 attn/mlp split
+        # at 32x64 (attention_training_notes.md)
+        return 0.5 * area**2 + 0.5 * area
+    return area
 
 
 def main(argv=None):
@@ -93,7 +186,6 @@ def main(argv=None):
     with open(args.ladder) as f:
         ladder = json.load(f)
 
-    # measured single-chip step times at the 8M rung (mid-ladder, 32x64)
     measured = {}
     for fam, key in (
         ("unet", "unet"), ("sfno2d", "sfno2d"),
@@ -103,35 +195,105 @@ def main(argv=None):
         if e and "step_s" in e:
             measured[fam] = e["step_s"]
 
-    results = {"_assumptions": __doc__.strip().split("Assumptions")[1][:400]}
+    results = {
+        "_assumptions": __doc__.strip().split("Assumptions")[1][:500],
+        "_validation": {
+            "hlo_byte_audit": "results/collective_microbench.json "
+            "(per-device all-to-all bytes vs this model's sfno layer "
+            "claim; timing linear-in-bytes fit)",
+            "schedule_correctness": "tests/test_parallel.py::"
+            "TestDistSHTPipelined (virtual 8-device mesh oracle)",
+        },
+    }
     for chip, spec in CHIPS.items():
         ici = spec["ici_gbps"]
         scale_t = 1.0 / spec.get("flops_ratio_vs_v5e", 1.0)
         for grid_name, (H, W) in (("5.625deg", (32, 64)),
                                   ("1.0deg", (180, 360))):
-            area_ratio = (H * W) / (32 * 64)
-            fams = model_families(H, W, C_act=256, seq=15)
-            for fam, comm_bytes in fams.items():
-                if fam not in measured:
+            for comm_name, comm_bytes_elem in (("bf16", 2), ("fp32", 4)):
+                fams = model_families(H, W, comm_bytes_elem)
+                for fam, model in fams.items():
+                    if fam not in measured:
+                        continue
+                    # bf16 comm only differs for the transpose families
+                    if comm_name == "fp32" and fam not in ("sfno2d",):
+                        continue
+                    t1 = measured[fam] * compute_scale(fam, H, W) * scale_t
+                    if comm_name == "bf16" and fam == "sfno2d":
+                        # bf16 compute step (the benchmark default):
+                        # measured bf16/fp32 step ratio at the 32m rung
+                        t1 *= 0.85
+                    rows = {}
+                    for P in (1, 2, 4, 8, 16, 32, 64):
+                        t_comp = t1 / P
+                        comm, K, alpha = model(P)
+                        comm_s = comm / ici if P > 1 else 0.0
+                        rows[P] = round(
+                            efficiency(t_comp, comm_s, K, alpha), 3
+                        )
+                    key = f"{chip}:{grid_name}:{fam}"
+                    if fam == "sfno2d":
+                        key += f":{comm_name}comm"
+                    results[key] = {
+                        "single_chip_step_s": round(t1, 4),
+                        "schedule": (
+                            "pipelined K=4 transposes, "
+                            f"{comm_name} payloads"
+                            if fam == "sfno2d" else "direct"
+                        ),
+                        "efficiency_by_chips": rows,
+                    }
+
+    # --- hybrid DP x SP training-workload rows (regime 2 above) ---
+    # measured batch-32 train steps (results/benchmark_training.json)
+    try:
+        with open("results/benchmark_training.json") as f:
+            tr = json.load(f)["results"]
+    except Exception:
+        tr = {}
+    GLOBAL_B = 32
+    for chip, spec in CHIPS.items():
+        ici = spec["ici_gbps"]
+        scale_t = 1.0 / spec.get("flops_ratio_vs_v5e", 1.0)
+        for fam, key, params in (("sfno2d", "sfno2d", 4.8e6),
+                                 ("graphcast", "graphcast", 0.83e6)):
+            e = tr.get(key)
+            if not e or "train_step_s" not in e:
+                continue
+            t32 = e["train_step_s"] * scale_t
+            rows = {}
+            for P in (1, 2, 4, 8, 16, 32, 64):
+                if P == 1:
+                    rows[P] = 1.0
                     continue
-                if fam == "swin_ring":
-                    # global-window attention is O(N^2): scale the (assumed
-                    # ~50/50 at 32x64) attention/mlp split super/linearly
-                    t1 = measured[fam] * scale_t * (
-                        0.5 * area_ratio**2 + 0.5 * area_ratio
+                x_p = min(2, P)          # spatial 2-way, rest data-parallel
+                groups = P // x_p
+                b_grp = GLOBAL_B / groups
+                t_comp = t32 / P          # perfect compute split
+                if fam == "sfno2d":
+                    act1 = 32 * 64 * C_ACT * 2  # bf16 payloads
+                    # per-chip transpose traffic: (x_p-1)/x_p of the local
+                    # share (A/x_p) per all_to_all
+                    per_chip = (
+                        SEQ * 2 * (2 * SFNO_LAYERS)
+                        * (b_grp * act1 / x_p) * (x_p - 1) / x_p
                     )
+                    comm, K, alpha = per_chip, 4, 0.436
                 else:
-                    t1 = measured[fam] * area_ratio * scale_t
-                rows = {}
-                for P in (1, 2, 4, 8, 16, 32, 64):
-                    t_comp = t1 / P
-                    t_comm = comm_bytes(P) / ici if P > 1 else 0.0
-                    eff = t_comp / (t_comp + t_comm)
-                    rows[P] = round(eff, 3)
-                results[f"{chip}:{grid_name}:{fam}"] = {
-                    "single_chip_step_s": round(t1, 4),
-                    "efficiency_by_chips": rows,
-                }
+                    V = 642
+                    boundary = 2.0 * math.sqrt(V * x_p)
+                    comm = SEQ * 2 * GC_LAYERS * boundary * GC_DIM * 4 \
+                        * b_grp / GLOBAL_B
+                    K, alpha = 1, 0.0
+                # ring all-reduce of bf16 grads across the data groups
+                grad_s = 2 * params * 2 * (groups - 1) / max(groups, 1) / ici
+                comm_s = comm / ici + grad_s
+                rows[P] = round(efficiency(t_comp, comm_s, K, alpha), 3)
+            results[f"{chip}:5.625deg:{fam}:train_b32_hybrid"] = {
+                "mesh": "data=P/2, x=2",
+                "train_step_b32_s": round(t32, 4),
+                "efficiency_by_chips": rows,
+            }
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "w") as f:
@@ -140,7 +302,7 @@ def main(argv=None):
     for k, v in results.items():
         if k.startswith("_"):
             continue
-        print(f"{k:30s} {v['efficiency_by_chips']}")
+        print(f"{k:38s} {v['efficiency_by_chips']}")
 
 
 if __name__ == "__main__":

@@ -114,6 +114,106 @@ class TestDistSHT:
         np.testing.assert_allclose(f, f_ref, atol=1e-4)
 
 
+class TestDistSHTPipelined:
+    """The round-4 overlapped schedule (channel-chunked transposes +
+    optional bf16 payloads) must be numerically indistinguishable from the
+    plain schedule — chunking commutes with the transpose and the
+    per-channel contraction."""
+
+    def _setup(self, C=5):
+        from dlwpbench_tpu.ops.sht import sht, sht_tables
+
+        mesh = _mesh_x(4)
+        nlat, nlon = 16, 32
+        t = sht_tables(nlat, nlon, grid="equiangular")
+        x = jnp.asarray(
+            np.random.default_rng(7).standard_normal((2, C, nlat, nlon)),
+            jnp.float32,
+        )
+        a_ref = np.asarray(sht(x, t))
+        return mesh, t, x, a_ref
+
+    @pytest.mark.parametrize("chunks", [2, 3, 8])
+    def test_pipelined_matches_plain(self, chunks):
+        """Uneven chunk splits (C=5) included: concat(chunked) == whole."""
+        from dlwpbench_tpu.ops.sht import isht
+        from dlwpbench_tpu.parallel.sht_dist import make_dist_sht
+
+        mesh, t, x, a_ref = self._setup()
+        fwd, inv = make_dist_sht(mesh, t, ndim=4, pipeline_chunks=chunks)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "x", None)))
+        a = np.asarray(jax.jit(fwd)(xs))
+        np.testing.assert_allclose(
+            a[..., : t.mmax], a_ref, rtol=1e-4, atol=1e-4
+        )
+        f_ref = np.asarray(isht(jnp.asarray(a_ref), t))
+        f = np.asarray(jax.jit(inv)(jax.device_put(
+            jnp.asarray(a), NamedSharding(mesh, P(None, None, None, "x"))
+        )))
+        np.testing.assert_allclose(f, f_ref, atol=1e-4)
+
+    def test_bf16_comm_within_tolerance(self):
+        """bf16 transpose payloads: one rounding of the coefficients, so
+        the round trip holds to bf16 precision (~1e-2 of field scale)."""
+        from dlwpbench_tpu.parallel.sht_dist import make_dist_sht
+
+        mesh, t, x, a_ref = self._setup()
+        fwd, inv = make_dist_sht(
+            mesh, t, ndim=4, pipeline_chunks=2, comm_dtype=jnp.bfloat16
+        )
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "x", None)))
+        a = np.asarray(jax.jit(fwd)(xs))
+        scale = np.abs(a_ref).max()
+        np.testing.assert_allclose(
+            a[..., : t.mmax] / scale, a_ref / scale, atol=3e-2
+        )
+
+    def test_pipelined_gradient_matches_plain(self):
+        from jax import shard_map
+
+        from dlwpbench_tpu.parallel.sht_dist import dist_sht
+
+        mesh, t, x, _ = self._setup()
+
+        def make_loss(chunks):
+            def local(al):
+                c = dist_sht(al, t, "x", pipeline_chunks=chunks)
+                return jax.lax.psum(jnp.sum(jnp.abs(c) ** 2), "x")
+
+            return jax.jit(jax.grad(shard_map(
+                local, mesh=mesh,
+                in_specs=P(None, None, "x", None), out_specs=P(),
+            )))
+
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "x", None)))
+        g1 = np.asarray(make_loss(1)(xs))
+        g3 = np.asarray(make_loss(3)(xs))
+        np.testing.assert_allclose(g3, g1, rtol=1e-5, atol=1e-5)
+
+    def test_dist_spherical_conv_pipelined(self):
+        """Full mixing layer on the overlapped schedule == plain schedule."""
+        from dlwpbench_tpu.ops.sht import sht_tables
+        from dlwpbench_tpu.parallel.spectral_dist import (
+            make_dist_spherical_conv,
+        )
+
+        mesh = _mesh_x(4)
+        nlat, nlon, Cin, Cout = 16, 32, 6, 4
+        t = sht_tables(nlat, nlon, grid="equiangular")
+        rng = np.random.default_rng(13)
+        x = jnp.asarray(rng.standard_normal((2, Cin, nlat, nlon)), jnp.float32)
+        w = jnp.asarray(
+            rng.standard_normal((Cin, Cout, t.lmax, 2)) @ np.array([1, 1j]),
+            jnp.complex64,
+        )
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, None, "x", None)))
+        plain = make_dist_spherical_conv(mesh, t, ndim=4)
+        piped = make_dist_spherical_conv(mesh, t, ndim=4, pipeline_chunks=3)
+        o1 = np.asarray(jax.jit(plain)(xs, w))
+        o2 = np.asarray(jax.jit(piped)(xs, w))
+        np.testing.assert_allclose(o2, o1, rtol=1e-5, atol=1e-5)
+
+
 class TestGraphPartition:
     def test_partitioned_aggregate_matches_single_device(self):
         from jax import shard_map
