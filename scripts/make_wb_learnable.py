@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Generate a LEARNABLE WeatherBench-layout dataset from real dynamics.
+
+Round-3 verdict: the committed random-walk fixture is unlearnable beyond
+persistence *by construction* (a random walk's optimal forecast IS
+persistence), so `results/wb_unet` could never demonstrate skill.  This
+script replaces the field generator with the repo's 2D Navier-Stokes
+pseudo-spectral solver (`data/ns2d.py`): vorticity evolves
+deterministically, so a trained model can out-forecast persistence — the
+chain the reference demonstrates on ERA5 (`scripts/evaluate.py:788-821`)
+becomes demonstrable end-to-end in this image:
+zarr tree -> WeatherBenchZarr -> train -> evaluate -> RMSE/ACC.
+
+Layout matches the reference's on-disk convention
+(`datasets.py:277-298`): per-variable directories of yearly zarr stores +
+`constants/`, 6-hourly CF time coordinates.  Variables mirror
+`configs/data/example_run.yaml` (msl + stream[250,500] + tisr +
+4 constants), scaled to the manual normalization tables' physical ranges
+(`data/stats_tables.py`) so the tabled stats engage exactly as they do
+for real WeatherBench data.  `tisr` is genuine analytic insolation
+(`data/insolation.py`) at the sample dates — the model sees the real
+diurnal/seasonal phase signal.
+
+    python scripts/make_wb_learnable.py [--root data/zarr/wb_learnable]
+        [--years 1979 1982] [--inner-steps 120]
+
+`--inner-steps` sets solver time per 6-hour frame (dt=1e-3): 600 gives a
+lag-1 autocorrelation ~0.98 and ~0.7 by lag 16 — persistence decays fast
+enough for a model to beat while frames stay strongly correlated
+(measured: 120 gave lag-1 1.000 / lag-16 0.936, too persistent).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+STEPS_PER_DAY = 4  # 6-hourly
+
+
+def year_hours(year, n_steps):
+    start = np.datetime64(f"{year}-01-01T00:00")
+    epoch = np.datetime64("1979-01-01T00:00")
+    offset = (start - epoch) // np.timedelta64(1, "h")
+    return (offset + np.arange(n_steps) * (24 // STEPS_PER_DAY)).astype(
+        "int64"
+    )
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="data/zarr/wb_learnable")
+    ap.add_argument("--years", nargs=2, type=int, default=[1979, 1982],
+                    help="first and last year (inclusive)")
+    ap.add_argument("--inner-steps", type=int, default=600)
+    ap.add_argument("--n", type=int, default=64, help="solver grid")
+    ap.add_argument("--nu", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--platform", default=None)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    import jax.numpy as jnp
+
+    from dlwpbench_tpu.data import ns2d, zarr_lite
+    from dlwpbench_tpu.data.insolation import insolation
+
+    H, W = 32, 64
+    years = list(range(args.years[0], args.years[1] + 1))
+    n_frames_year = 365 * STEPS_PER_DAY
+    total = len(years) * n_frames_year
+
+    print(f"simulating {total} frames ({len(years)} years) at "
+          f"n={args.n}, inner_steps={args.inner_steps} ...", flush=True)
+    key = jax.random.PRNGKey(args.seed)
+    w0 = ns2d.gaussian_random_field(key, args.n, batch=1)
+    # burn-in onto the attractor so year 1 is statistically stationary
+    burn = ns2d.simulate(w0, n=args.n, nu=args.nu, dt=1e-3,
+                         record_steps=1, inner_steps=20 * args.inner_steps)
+    w0 = burn[:, -1]
+    # chunked recording keeps the scan short enough to trace quickly
+    chunks, state = [], jnp.fft.rfft2(w0)
+    g = ns2d.make_grid(args.n)
+    remaining = total
+    while remaining > 0:
+        k = min(remaining, 400)
+        traj = ns2d.simulate(
+            jnp.fft.irfft2(state, (args.n, args.n)),
+            n=args.n, nu=args.nu, dt=1e-3,
+            record_steps=k, inner_steps=args.inner_steps,
+        )
+        chunks.append(np.asarray(traj[0, 1:]))  # drop the repeated w0
+        state = jnp.fft.rfft2(traj[:, -1])
+        remaining -= k
+        print(f"  {total - remaining}/{total}", flush=True)
+    w = np.concatenate(chunks, axis=0)  # [total, n, n]
+
+    # solver diagnostics on the torus -> physical-range WB variables
+    w_hat = np.fft.rfft2(w)
+    psi_hat = w_hat * np.asarray(g.inv_lap)  # streamfunction
+    psi = np.fft.irfft2(psi_hat, s=(args.n, args.n))
+    # u = d(psi)/dy: the second deterministic diagnostic for stream500
+    u = np.fft.irfft2(1j * np.asarray(g.ky) * psi_hat, s=(args.n, args.n))
+
+    def to_latlon(f):
+        """[T, n, n] torus -> [T, 32, 64]: mean-pool row pairs (lat),
+        longitudes stay periodic — matching the lat-lon convention."""
+        T = f.shape[0]
+        return f.reshape(T, H, 2, W).mean(axis=2).astype(np.float32)
+
+    def normalize_to(f, mean, std):
+        f = (f - f.mean()) / (f.std() + 1e-12)
+        return (f * std + mean).astype(np.float32)
+
+    # lag-1/lag-16 autocorrelation of the prognostic field (sanity print)
+    wz = to_latlon(w)
+    flat = wz.reshape(len(wz), -1) - wz.mean()
+    for lag in (1, 4, 16):
+        num = (flat[:-lag] * flat[lag:]).sum()
+        den = np.sqrt((flat[:-lag] ** 2).sum() * (flat[lag:] ** 2).sum())
+        print(f"  lag-{lag} autocorr: {num / den:.3f}", flush=True)
+
+    from dlwpbench_tpu.data.stats_tables import TABLES
+
+    tbl = None
+    for t in TABLES.values():
+        if "msl" in t and "stream250" in t:
+            tbl = t
+            break
+    msl_field = normalize_to(wz, tbl["msl"]["mean"], tbl["msl"]["std"])
+    # "stream" is level-indexed in the config (stream: [250, 500], like
+    # `configs/data/example_run.yaml`): one store with a level dim; the
+    # per-level stats come from the flat stream250/stream500 table keys
+    stream = np.stack(
+        [
+            normalize_to(to_latlon(psi), tbl["stream250"]["mean"],
+                         tbl["stream250"]["std"]),
+            normalize_to(to_latlon(u), tbl["stream500"]["mean"],
+                         tbl["stream500"]["std"]),
+        ],
+        axis=1,
+    )  # [T, level, H, W]
+
+    lat = np.linspace(-87.1875, 87.1875, H).astype(np.float32)
+    lon = (np.arange(W) * (360.0 / W)).astype(np.float32)
+    time_attrs = {"units": "hours since 1979-01-01 00:00:00",
+                  "calendar": "proleptic_gregorian"}
+
+    # real insolation at the frame dates (prescribed channel)
+    all_dates = np.concatenate([
+        np.datetime64("1979-01-01T00:00")
+        + year_hours(y, n_frames_year) * np.timedelta64(1, "h")
+        for y in years
+    ])
+    tisr = insolation(all_dates, lat, lon, S=1366.0).astype(np.float32)
+
+    def write_var(dirname, varname, data, levels=None):
+        pos = 0
+        dims = ("time", "level", "lat", "lon") if levels is not None \
+            else ("time", "lat", "lon")
+        for y in years:
+            sl = data[pos : pos + n_frames_year]
+            coords = {
+                "time": (("time",), year_hours(y, n_frames_year), time_attrs),
+                "lat": (("lat",), lat),
+                "lon": (("lon",), lon),
+            }
+            if levels is not None:
+                coords["level"] = (
+                    ("level",), np.asarray(levels, dtype="int64")
+                )
+            zarr_lite.write_dataset(
+                os.path.join(args.root, dirname,
+                             f"{varname}_{y}_5.625deg.zarr"),
+                {varname: (dims, sl)},
+                coords,
+            )
+            pos += n_frames_year
+
+    write_var("msl", "msl", msl_field)
+    write_var("stream", "stream", stream, levels=[250, 500])
+    write_var("toa_incident_solar_radiation", "tisr", tisr)
+
+    lat2d, lon2d = np.meshgrid(lat, lon, indexing="ij")
+    rng = np.random.default_rng(args.seed)
+    zarr_lite.write_dataset(
+        os.path.join(args.root, "constants", "constants_5.625deg.zarr"),
+        {
+            "orography": (("lat", "lon"),
+                          840.0 * rng.random((H, W)).astype(np.float32)),
+            "lsm": (("lat", "lon"),
+                    (rng.random((H, W)) > 0.6).astype(np.float32)),
+            "lat2d": (("lat", "lon"), lat2d.astype(np.float32)),
+            "lon2d": (("lat", "lon"), lon2d.astype(np.float32)),
+        },
+        {"lat": (("lat",), lat), "lon": (("lon",), lon)},
+    )
+    print(f"-> {args.root} ({total} frames, {len(years)} years)")
+
+
+if __name__ == "__main__":
+    main()
