@@ -27,7 +27,9 @@ FAMILIES = {
     "sfno": ("sfno", []),
     "fourcastnet": ("fourcastnet", []),
     "swin": ("swintransformer", []),
-    "pangu": ("panguweather", []),
+    # 64x64 NS doubles Pangu's token count 8x vs 5.625 deg; batch 8 keeps
+    # the remat attention temporaries inside HBM (batch 16 OOMs at 16 GB)
+    "pangu": ("panguweather", ["training.batch_size=8"]),
     "mgn": ("meshgraphnet", []),
     # the WeatherBench-scale default (512 hidden x 16 layers) is oversized
     # for the 64x64 single-channel NS track; match the other families' scale
