@@ -126,7 +126,12 @@ def _attn_kernel_panel(
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, n_kv, body, (acc0, m0, l0))
     o_ref[0, 0] = (acc / l).astype(o_ref.dtype)
-    lse_ref[0, 0] = m + jnp.log(l)
+    # stats stored lane-major [B, H, 1, N] (the packed kernel's proven
+    # layout): a trailing singleton dim would tile-pad 128x in HBM
+    # (measured: 243 MB for 1.9 MB of stats at Pangu batch-32 shapes);
+    # lane-major pads only 8x sublanes on a tiny tensor, and the
+    # [bq,1]->[1,bq] relayout here is cheap
+    lse_ref[0, 0] = (m + jnp.log(l)).T
 
 
 def _attn_kernel(
@@ -186,7 +191,7 @@ def _attn_kernel(
     @pl.when(j == n_kv - 1)
     def _flush():
         o_ref[0, 0] = (acc_ref[...] / l_new).astype(o_ref.dtype)
-        lse_ref[0, 0] = m_new + jnp.log(l_new)
+        lse_ref[0, 0] = (m_new + jnp.log(l_new)).T  # lane-major, see panel
 
 
 @functools.partial(
@@ -221,7 +226,7 @@ def _flash_impl(
             ),
             out_shape=(
                 jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
-                jax.ShapeDtypeStruct((B, H, N, 1), jnp.float32),
+                jax.ShapeDtypeStruct((B, H, 1, N), jnp.float32),
             ),
             grid=(B, H, N // pbq),
             in_specs=[
@@ -235,7 +240,7 @@ def _flash_impl(
             ],
             out_specs=(
                 pl.BlockSpec((1, 1, pbq, D), lambda b, h, i: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, pbq, 1), lambda b, h, i: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, 1, pbq), lambda b, h, i: (b, h, 0, i)),
             ),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "parallel"),
@@ -258,7 +263,7 @@ def _flash_impl(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, N, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, H, 1, N), jnp.float32),
         ),
         grid=grid,
         in_specs=[
@@ -272,7 +277,9 @@ def _flash_impl(
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
-            pl.BlockSpec((1, 1, block_q, 1), lambda b, h, i, j: (b, h, i, 0)),
+            pl.BlockSpec(
+                (1, 1, 1, block_q), lambda b, h, i, j: (b, h, 0, i)
+            ),
         ),
         scratch_shapes=[
             pltpu.VMEM((block_q, D), jnp.float32),
@@ -300,8 +307,8 @@ def _bwd_dq_dbias_kernel_panel(
     j = pl.program_id(3)
     q = q_ref[0, 0] * scale
     do = do_ref[0, 0].astype(jnp.float32)
-    lse = lse_ref[0, 0]  # [bq, 1]
-    drow = drow_ref[0, 0]  # [bq, 1]
+    lse = lse_ref[0, 0].T  # [1, bq] lane-major in HBM -> [bq, 1]
+    drow = drow_ref[0, 0].T
     D = q.shape[-1]
     bq = q.shape[0]
 
@@ -354,8 +361,8 @@ def _bwd_dkv_kernel_panel(
         do_blk = do_ref[0, 0, pl.ds(i * block_q, block_q), :].astype(
             jnp.float32
         )
-        lse_blk = lse_ref[0, 0, pl.ds(i * block_q, block_q), :]
-        drow_blk = drow_ref[0, 0, pl.ds(i * block_q, block_q), :]
+        lse_blk = lse_ref[0, 0, :, pl.ds(i * block_q, block_q)].T  # [bq, 1]
+        drow_blk = drow_ref[0, 0, :, pl.ds(i * block_q, block_q)].T
         b_blk = bias_ref[0, 0, pl.ds(i * block_q, block_q), :]
         s = (
             jax.lax.dot_general(
@@ -404,6 +411,7 @@ def _flash_bwd_panel(block_q, block_k, interpret, res, do, drow):
     )
     b_idx = lambda gi, h, i, j: (gi + j * G, h, i, 0)
     bn_idx = lambda gi, h, i, j: (gi + j * G, h, 0, 0)
+    s_idx = lambda gi, h, i, j: (gi + j * G, h, 0, i)  # lane-major stats
     dq, dbias = pl.pallas_call(
         k1,
         out_shape=(
@@ -419,8 +427,8 @@ def _flash_bwd_panel(block_q, block_k, interpret, res, do, drow):
                 (1, 1, block_q, N), lambda gi, h, i, j: (gi, h, i, 0)
             ),
             pl.BlockSpec((1, 1, block_q, D), b_idx),   # dO
-            pl.BlockSpec((1, 1, block_q, 1), b_idx),   # lse
-            pl.BlockSpec((1, 1, block_q, 1), b_idx),   # drow
+            pl.BlockSpec((1, 1, 1, block_q), s_idx),   # lse
+            pl.BlockSpec((1, 1, 1, block_q), s_idx),   # drow
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), b_idx),
@@ -459,8 +467,8 @@ def _flash_bwd_panel(block_q, block_k, interpret, res, do, drow):
                 lambda b, h, i: (jax.lax.rem(b, G), h, 0, i),
             ),
             pl.BlockSpec((1, 1, N, D), full),          # dO
-            pl.BlockSpec((1, 1, N, 1), full),          # lse
-            pl.BlockSpec((1, 1, N, 1), full),          # drow
+            pl.BlockSpec((1, 1, 1, N), lambda b, h, i: (b, h, 0, 0)),  # lse
+            pl.BlockSpec((1, 1, 1, N), lambda b, h, i: (b, h, 0, 0)),  # drow
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_k, D), blk),
@@ -525,7 +533,7 @@ def _bwd_dq_kernel(
     do = do_ref[0, 0].astype(jnp.float32)
     ds, k_blk = _dq_ds_blocks(
         q, k_ref[0, 0], v_ref[0, 0], bias_ref[0, 0], do,
-        lse_ref[0, 0], drow_ref[0, 0], j, block_k, n_valid, k_tail,
+        lse_ref[0, 0].T, drow_ref[0, 0].T, j, block_k, n_valid, k_tail,
     )
     if emit_dbias:
         dbias_ref[0, 0] = ds
@@ -552,7 +560,7 @@ def _bwd_dbias_kernel(
     do = do_ref[0, 0].astype(jnp.float32)
     ds, _ = _dq_ds_blocks(
         q, k_ref[0, 0], v_ref[0, 0], bias_ref[0, 0], do,
-        lse_ref[0, 0], drow_ref[0, 0], j, block_k, n_valid, k_tail,
+        lse_ref[0, 0].T, drow_ref[0, 0].T, j, block_k, n_valid, k_tail,
     )
 
     @pl.when(m == 0)
@@ -585,8 +593,8 @@ def _bwd_dkv_kernel(
     v_blk = v_ref[0, 0]
     q_blk = q_ref[0, 0] * scale
     do_blk = do_ref[0, 0].astype(jnp.float32)
-    lse_blk = lse_ref[0, 0]
-    drow_blk = drow_ref[0, 0]
+    lse_blk = lse_ref[0, 0].T  # [1, bq] lane-major -> [bq, 1]
+    drow_blk = drow_ref[0, 0].T
     if q_tail:
         qrow = jax.lax.broadcasted_iota(
             jnp.int32, q_blk.shape, 0
@@ -644,8 +652,9 @@ def _flash_bwd_impl(block_q, block_k, interpret, res, do, g_lse=None):
     scale = D**-0.5
 
     drow = jnp.sum(
-        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
-    )  # [B, H, N, 1]
+        do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )[:, :, None, :]  # [B, H, 1, N] lane-major like lse (a trailing
+    # singleton dim would tile-pad 128x in HBM)
     if g_lse is not None:
         drow = drow - g_lse.astype(jnp.float32)
 
@@ -664,7 +673,8 @@ def _flash_bwd_impl(block_q, block_k, interpret, res, do, g_lse=None):
     bias4 = bias[None] if bias_was_3d else bias
     G = bias4.shape[0]
 
-    qd = lambda b, h, i, j: (b, h, i, 0)    # q/dO/lse/drow blocks (row i)
+    qd = lambda b, h, i, j: (b, h, i, 0)    # q/dO blocks (row i)
+    qs = lambda b, h, i, j: (b, h, 0, i)    # lane-major stats
     kd = lambda b, h, i, j: (b, h, j, 0)    # k/v blocks (col j)
     bd = lambda b, h, i, j: (jax.lax.rem(b, G), h, i, j)
 
@@ -688,8 +698,8 @@ def _flash_bwd_impl(block_q, block_k, interpret, res, do, g_lse=None):
             pl.BlockSpec((1, 1, block_k, D), kd),       # v
             pl.BlockSpec((1, 1, block_q, block_k), bd),  # bias
             pl.BlockSpec((1, 1, block_q, D), qd),       # dO
-            pl.BlockSpec((1, 1, block_q, 1), qd),       # lse
-            pl.BlockSpec((1, 1, block_q, 1), qd),       # drow
+            pl.BlockSpec((1, 1, 1, block_q), qs),       # lse
+            pl.BlockSpec((1, 1, 1, block_q), qs),       # drow
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_q, D), qd),
@@ -713,6 +723,7 @@ def _flash_bwd_impl(block_q, block_k, interpret, res, do, g_lse=None):
             n_valid=N, k_tail=k_tail, n_member=B // G,
         )
         mqd = lambda gi, h, i, j, m: (gi + m * G, h, i, 0)
+        mqs = lambda gi, h, i, j, m: (gi + m * G, h, 0, i)
         mkd = lambda gi, h, i, j, m: (gi + m * G, h, j, 0)
         gbd = lambda gi, h, i, j, m: (gi, h, i, j)
         dbias = pl.pallas_call(
@@ -725,8 +736,8 @@ def _flash_bwd_impl(block_q, block_k, interpret, res, do, g_lse=None):
                 pl.BlockSpec((1, 1, block_k, D), mkd),       # v
                 pl.BlockSpec((1, 1, block_q, block_k), gbd),  # bias
                 pl.BlockSpec((1, 1, block_q, D), mqd),       # dO
-                pl.BlockSpec((1, 1, block_q, 1), mqd),       # lse
-                pl.BlockSpec((1, 1, block_q, 1), mqd),       # drow
+                pl.BlockSpec((1, 1, 1, block_q), mqs),       # lse
+                pl.BlockSpec((1, 1, 1, block_q), mqs),       # drow
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, block_k), gbd),
             compiler_params=pltpu.CompilerParams(
@@ -741,7 +752,8 @@ def _flash_bwd_impl(block_q, block_k, interpret, res, do, g_lse=None):
         _bwd_dkv_kernel, scale=scale, block_q=block_q, n_q=nq,
         n_valid=N, q_tail=q_tail,
     )
-    kvq = lambda b, h, j, i: (b, h, i, 0)   # q/dO/lse/drow (row i, inner)
+    kvq = lambda b, h, j, i: (b, h, i, 0)   # q/dO (row i, inner)
+    kvs = lambda b, h, j, i: (b, h, 0, i)   # lane-major stats
     kvk = lambda b, h, j, i: (b, h, j, 0)   # k/v/dk/dv (col j, outer)
     kvb = lambda b, h, j, i: (jax.lax.rem(b, G), h, i, j)
     dk, dv = pl.pallas_call(
@@ -757,8 +769,8 @@ def _flash_bwd_impl(block_q, block_k, interpret, res, do, g_lse=None):
             pl.BlockSpec((1, 1, block_k, D), kvk),       # v
             pl.BlockSpec((1, 1, block_q, block_k), kvb),  # bias
             pl.BlockSpec((1, 1, block_q, D), kvq),       # dO
-            pl.BlockSpec((1, 1, block_q, 1), kvq),       # lse
-            pl.BlockSpec((1, 1, block_q, 1), kvq),       # drow
+            pl.BlockSpec((1, 1, 1, block_q), kvs),       # lse
+            pl.BlockSpec((1, 1, 1, block_q), kvs),       # drow
         ],
         out_specs=(
             pl.BlockSpec((1, 1, block_k, D), kvk),
@@ -835,7 +847,7 @@ def flash_window_attention_lse(
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """`flash_window_attention` that also returns the per-row log-sum-exp
-    [B, H, N, 1] — DIFFERENTIABLY (dlse/ds = softmax folds into the same
+    [B, H, 1, N] (lane-major) — DIFFERENTIABLY (dlse/ds = softmax folds into the same
     backward kernels).  This is the partial-softmax primitive ring/context-
     parallel attention needs: two chunks' (out, lse) merge exactly as
 

@@ -62,7 +62,8 @@ def ring_window_attention(
     assert bias_local.shape[-1] == Nl * p, (bias_local.shape, Nl, p)
 
     out = jnp.zeros((B, H, Nl, D), jnp.float32)
-    lse = jnp.full((B, H, Nl, 1), NEG_BIG, jnp.float32)
+    # kernel lse layout: [B, H, 1, N] lane-major (pallas_attention)
+    lse = jnp.full((B, H, 1, Nl), NEG_BIG, jnp.float32)
     kc, vc = k_local, v_local
     ring = [(i, (i + 1) % p) for i in range(p)]
 
@@ -75,9 +76,9 @@ def ring_window_attention(
             q_local, kc, vc, bcols, interpret=interpret
         )
         lse_new = jnp.logaddexp(lse, lse_c)
-        out = out * jnp.exp(lse - lse_new) + o_c.astype(jnp.float32) * jnp.exp(
-            lse_c - lse_new
-        )
+        w_old = jnp.moveaxis(jnp.exp(lse - lse_new), -1, -2)  # [B,H,Nl,1]
+        w_new = jnp.moveaxis(jnp.exp(lse_c - lse_new), -1, -2)
+        out = out * w_old + o_c.astype(jnp.float32) * w_new
         lse = lse_new
         if r < p - 1:  # last chunk needs no further rotation
             kc = lax.ppermute(kc, axis_name, ring)
