@@ -158,7 +158,10 @@ def main(argv=None):
         + year_hours(y, n_frames_year) * np.timedelta64(1, "h")
         for y in years
     ])
-    tisr = insolation(all_dates, lat, lon, S=1366.0).astype(np.float32)
+    # S=1.0: the manual tisr stats (mean 0.25, std 0.32,
+    # `data/stats_tables.py`) are in normalized solar-constant units —
+    # raw W/m^2 would enter the model at ~4000 sigma
+    tisr = insolation(all_dates, lat, lon, S=1.0).astype(np.float32)
 
     def write_var(dirname, varname, data, levels=None):
         pos = 0
