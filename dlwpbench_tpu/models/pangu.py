@@ -132,10 +132,11 @@ def shift_window_mask(pad_resolution, window_size, shift_size) -> np.ndarray:
 class EarthAttention3D(nn.Module):
     """Earth-specific window attention consuming a PRECOMPUTED bias.
 
-    `bias` is [nh, tow, N, N] — the earth-position bias table expanded by
-    `PanguWeather.precompute` ONCE per rollout (the reference gathers it per
-    call, `panguweather.py:158-166`; under the `lax.scan` rollout that would
-    redo the [N*N]-row gather for all 16 blocks every step).
+    `bias` is [tow, nh, Nk, Nq] (the `window_attention_qkv` kernel layout;
+    key-major) — the earth-position bias table expanded by
+    `PanguWeather.precompute` ONCE per rollout (the reference gathers it
+    per call, `panguweather.py:158-166`; under the `lax.scan` rollout that
+    would redo the [N*N]-row gather for all 16 blocks every step).
     """
 
     dim: int
@@ -176,16 +177,16 @@ class EarthAttention3D(nn.Module):
             and B_ * nW >= 64
         )
         if packed:
-            # Pallas packed small-window path: one program per
-            # (sample, lon, window) triple covering all heads
-            # (ops/pallas_attention.py::packed_window_attention).
-            from dlwpbench_tpu.ops.pallas_attention import packed_window_attention
+            # Token-major Pallas path: the kernel consumes the qkv Dense
+            # output layout directly (a free reshape — no transposes on the
+            # operands, outputs, or gradients) and covers all heads of
+            # several batch members per program
+            # (ops/pallas_attention.py::window_attention_qkv).
+            from dlwpbench_tpu.ops.pallas_attention import window_attention_qkv
 
-            pq = qkv.reshape(B_, nW, N, 3, nh, hd).transpose(3, 0, 1, 4, 2, 5)
-            pq = pq.reshape(3, B_ * nW, nh, N, hd)
-            gb = bias.transpose(1, 0, 2, 3)  # [nW, nh, N, N]
-            out = packed_window_attention(pq[0], pq[1], pq[2], gb, mask)
-            out = out.reshape(B_, nW, nh, N, hd).transpose(0, 1, 3, 2, 4)
+            L = 1 if mask is None else mask.shape[0]
+            q5 = qkv.reshape(B_ // L, L, nW, N, 3 * C)
+            out = window_attention_qkv(q5, bias, mask, nh)
             out = out.reshape(B_, nW, N, C)
             return nn.Dense(C, kernel_init=trunc_normal_init())(out)
 
@@ -205,7 +206,7 @@ class EarthAttention3D(nn.Module):
             q = q.transpose(0, 2, 1, 3, 4).reshape(B_ * nW, nh, N, hd)
             k = k.transpose(0, 2, 1, 3, 4).reshape(B_ * nW, nh, N, hd)
             v = v.transpose(0, 2, 1, 3, 4).reshape(B_ * nW, nh, N, hd)
-            gb = bias.transpose(1, 0, 2, 3)  # [tow=nW, nh, N, N]
+            gb = bias.swapaxes(-1, -2)  # key-major -> [nW, nh, Nq, Nk]
             if mask is not None:
                 nLon = mask.shape[0]
                 gb = gb[None] + mask[:, :, None]  # [nLon, nW, nh, N, N]
@@ -225,7 +226,10 @@ class EarthAttention3D(nn.Module):
             out = out.reshape(B_, nW, nh, N, hd).transpose(0, 2, 1, 3, 4)
         else:
             q, k, v = qkv[0] * scale, qkv[1], qkv[2]  # [B_, nh, nW, N, hd]
-            attn = jnp.einsum("bhwnd,bhwmd->bhwnm", q, k) + bias[None]
+            attn = (
+                jnp.einsum("bhwnd,bhwmd->bhwnm", q, k)
+                + bias.transpose(1, 0, 3, 2)[None]
+            )
             if mask is not None:
                 nLon = mask.shape[0]
                 attn = attn.reshape(B_ // nLon, nLon, nh, nW, N, N)
@@ -240,13 +244,14 @@ class EarthAttention3D(nn.Module):
 def expand_earth_bias(
     table: jax.Array, window_size: tuple[int, int, int]
 ) -> jax.Array:
-    """[(wpl^2*wlat^2*(2wlon-1)), tow, nh] table -> [nh, tow, N, N]."""
+    """[(wpl^2*wlat^2*(2wlon-1)), tow, nh] table -> [tow, nh, Nk, Nq]
+    (the `window_attention_qkv` kernel layout; fallback paths transpose)."""
     wpl, wlat, wlon = window_size
     N = wpl * wlat * wlon
     idx = jnp.asarray(earth_position_index(window_size))
     tow, nh = table.shape[1], table.shape[2]
     bias = table[idx.reshape(-1)].reshape(N, N, tow, nh)
-    return bias.transpose(3, 2, 0, 1)
+    return bias.transpose(2, 3, 1, 0)
 
 
 class EarthSpecificBlock(nn.Module):

@@ -1148,3 +1148,303 @@ def flash_window_attention(
     alone would cost two extra ~3.2 GB HBM tensors).
     """
     return _flash_diff(q, k, v, bias, block_q, block_k, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Token-major packed window attention (zero host-side relayout)
+# ---------------------------------------------------------------------------
+#
+# The transposed-layout packed kernel above is fast *inside* the kernel but
+# expensive *around* it: producing its [BW, nh, D, N] operands from the qkv
+# Dense output [B_, nW, N, 3C] costs a 6-axis transpose per layer (and its
+# inverse on the output and every gradient), which XLA lowers to tens of
+# thousands of small `copy` ops inside the rollout scan — measured 1.2 s of
+# a 3.6 s Pangu batch-32 train step, with another ~0.45 s of backward grid
+# overhead from its one-(window, head, sample)-per-program grid
+# (results/traces/pangu_b32).
+#
+# This kernel instead consumes the Dense output layout DIRECTLY:
+#
+#   qkv  [B, L, nW, N, 3C]   (a free reshape of the Dense output; L = lon
+#                             groups for Pangu's shift masks, else 1)
+#   bias [nW, nh, N, N]      token-major [Nq, Nk]
+#   mask [L, nW|1, N, N]     additive shift mask, or None
+#
+# Per-head q/k/v are *lane slices* of the resident [N, 3C] block (hd = 16
+# or 32 within one 128-lane tile), the softmax reduces over lanes, and the
+# backward emits a FUSED dqkv [..., N, 3C] that feeds the Dense backward
+# with no concatenation.  One program covers all heads of G batch members
+# of one (window, lon) cell, so the grid shrinks by nh*G and the dBias
+# accumulator is revisited consecutively across (lon, batch) for each
+# window type.  No operand is transposed, padded, or re-laid-out on the
+# host in either direction: HBM traffic is the tensors themselves.
+#
+# Replaces the EarthAttention3D packed path (models/pangu.py; reference
+# `panguweather.py:133-211`); the transposed-layout kernel above remains
+# for Swin HPX / win8 (`models/swin.py`).
+
+
+def _tm_attn_kernel(qkv_ref, bias_ref, mask_ref, o_ref, lse_ref,
+                    xt_ref, ot_ref, *, scale, nh, hd, G):
+    """Per (window, lon, batch-block) program: ONE bulk VMEM transpose of
+    each member's [N, 3C] block into head-major scratch, then the proven
+    [D, N] MXU forms per head (contracting the 16/32-deep head dim as
+    sublanes — a lane-dim contraction per head would force a Mosaic
+    relayout per (member, head) slice, measured 2.4x slower).  `bias` and
+    `mask` arrive KEY-MAJOR [Nk, Nq] (the shift mask is symmetric, see
+    `window_attention_qkv`)."""
+    C = nh * hd
+    m = mask_ref[0, 0]  # [Nk, Nq]
+    for g in range(G):
+        xt_ref[:] = qkv_ref[g, 0, 0].T  # [3C, N]
+        for h in range(nh):
+            sl = slice(h * hd, (h + 1) * hd)
+            q = xt_ref[sl, :] * scale              # [hd, Nq]
+            k = xt_ref[C + h * hd:C + (h + 1) * hd, :]
+            v = xt_ref[2 * C + h * hd:2 * C + (h + 1) * hd, :]
+            s = (
+                jax.lax.dot_general(               # [Nk, Nq]
+                    k, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias_ref[0, h]
+                + m
+            )
+            mx = jnp.max(s, axis=0, keepdims=True)  # [1, Nq]
+            p = jnp.exp(s - mx)
+            l = jnp.sum(p, axis=0, keepdims=True)
+            o = jax.lax.dot_general(               # [hd, Nq]
+                v, p, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ot_ref[sl, :] = o / l
+            lse_ref[g, 0, 0, h:h + 1, :] = mx + jnp.log(l)
+        o_ref[g, 0, 0] = ot_ref[:].T.astype(o_ref.dtype)
+
+
+def _tm_bwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, do_ref, lse_ref,
+                   dqkv_ref, dbias_ref, xt_ref, got_ref, dot_ref, dxt_ref,
+                   *, scale, nh, hd, G):
+    """Same scratch-transpose scheme as the forward; emits the FUSED dqkv
+    (one [N, 3C] store per member) and accumulates dBias across the
+    (lon, batch) grid revisits of each window type."""
+    C = nh * hd
+    lon = pl.program_id(1)
+    jb = pl.program_id(2)
+    m = mask_ref[0, 0]  # [Nk, Nq]
+
+    @pl.when((lon == 0) & (jb == 0))
+    def _init():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    for g in range(G):
+        xt_ref[:] = qkv_ref[g, 0, 0].T                   # [3C, N]
+        got_ref[:] = o_ref[g, 0, 0].T.astype(jnp.float32)   # [C, N]
+        dot_ref[:] = do_ref[g, 0, 0].T.astype(jnp.float32)  # [C, N]
+        for h in range(nh):
+            sl = slice(h * hd, (h + 1) * hd)
+            q = xt_ref[sl, :] * scale                    # [hd, Nq]
+            k = xt_ref[C + h * hd:C + (h + 1) * hd, :]
+            v = xt_ref[2 * C + h * hd:2 * C + (h + 1) * hd, :]
+            ot = got_ref[sl, :]
+            dot = dot_ref[sl, :]
+            s = (
+                jax.lax.dot_general(                     # [Nk, Nq]
+                    k, q, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                + bias_ref[0, h]
+                + m
+            )
+            p = jnp.exp(s - lse_ref[g, 0, 0, h:h + 1, :])  # [Nk, Nq]
+            drow = jnp.sum(dot * ot, axis=0, keepdims=True)  # [1, Nq]
+            dp = jax.lax.dot_general(                    # [Nk, Nq]
+                v, dot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            ds = p * (dp - drow)
+            dbias_ref[0, h] = dbias_ref[0, h] + ds
+            dxt_ref[sl, :] = scale * jax.lax.dot_general(
+                k, ds, (((1,), (0,)), ((), ())),         # dq [hd, Nq]
+                preferred_element_type=jnp.float32,
+            )
+            # `q` already carries `scale`, so no extra factor here
+            dxt_ref[C + h * hd:C + (h + 1) * hd, :] = (
+                jax.lax.dot_general(                     # dk [hd, Nk]
+                    q, ds, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+            dxt_ref[2 * C + h * hd:2 * C + (h + 1) * hd, :] = (
+                jax.lax.dot_general(                     # dv [hd, Nk]
+                    dot, p, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        dqkv_ref[g, 0, 0] = dxt_ref[:].T.astype(dqkv_ref.dtype)
+
+
+def _tm_group(B, L, nW, nh, N, C, cap=8, bwd=True):
+    """Largest divisor of B <= cap whose VMEM plan stays under the 16 MB
+    scoped limit.  The backward is the bigger of the two (qkv and dqkv
+    blocks with double buffering, o/do blocks, bias + dbias resident,
+    the four [*, N] scratches, [N, N] transients); the forward carries
+    roughly half of that, so it can afford a larger G (fewer programs)."""
+    def pad(c):  # lane padding of the minor dim in VMEM
+        return -(-c // 128) * 128
+
+    # Coefficients calibrated against the relay compiler's scoped-vmem
+    # verdicts at N=144 (pass: C=96 G=8 / C=192 G=2; fail: C=192 G=4):
+    # double-buffered [G, N, 3C]+[G, N, C] block pairs, bias+dbias
+    # resident, ~3 MB of scratch/transients.  The forward halves the
+    # per-member and bias terms (no dqkv/do blocks, no dbias).
+    def est(cand):
+        per_g = cand * N * (pad(3 * C) + pad(C)) * 16
+        fixed = nh * N * N * 32
+        if not bwd:
+            per_g //= 2
+            fixed //= 2
+        return per_g + fixed + 3e6
+
+    g = 1
+    for cand in range(2, cap + 1):
+        if B % cand == 0 and est(cand) < 17e6:
+            g = cand
+    return g
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "interpret"))
+def _tm_impl(qkv, bias, mask, nh, interpret=False):
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    B, L, nW, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // nh
+    mL, mW = mask.shape[0], mask.shape[1]
+    G = _tm_group(B, L, nW, nh, N, C, bwd=False)
+    scale = hd**-0.5
+    kernel = functools.partial(_tm_attn_kernel, scale=scale, nh=nh, hd=hd,
+                               G=G)
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L, nW, N, C), qkv.dtype),
+            jax.ShapeDtypeStruct((B, L, nW, nh, N), jnp.float32),
+        ),
+        grid=(nW, L, B // G),
+        in_specs=[
+            pl.BlockSpec((G, 1, 1, N, C3),
+                         lambda w, lon, jb: (jb, lon, w, 0, 0)),
+            pl.BlockSpec((1, nh, N, N), lambda w, lon, jb: (w, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, N, N),
+                lambda w, lon, jb: (lon if mL > 1 else 0,
+                                    w if mW > 1 else 0, 0, 0),
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, 1, 1, N, C),
+                         lambda w, lon, jb: (jb, lon, w, 0, 0)),
+            pl.BlockSpec((G, 1, 1, nh, N),
+                         lambda w, lon, jb: (jb, lon, w, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C3, N), jnp.float32),   # transposed qkv member
+            pltpu.VMEM((C, N), jnp.float32),    # head-major output
+        ],
+        interpret=interpret,
+    )(qkv, bias, mask)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _tm_diff(qkv, bias, mask, nh, interpret):
+    out, _ = _tm_impl(qkv, bias, mask, nh, interpret=interpret)
+    return out
+
+
+def _tm_fwd(qkv, bias, mask, nh, interpret):
+    out, lse = _tm_impl(qkv, bias, mask, nh, interpret=interpret)
+    return out, (qkv, bias, mask, out, lse)
+
+
+def _tm_bwd(nh, interpret, res, g):
+    qkv, bias, mask, out, lse = res
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    B, L, nW, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // nh
+    mL, mW = mask.shape[0], mask.shape[1]
+    G = _tm_group(B, L, nW, nh, N, C)
+    scale = hd**-0.5
+    kernel = functools.partial(_tm_bwd_kernel, scale=scale, nh=nh, hd=hd,
+                               G=G)
+    blk3 = lambda w, lon, jb: (jb, lon, w, 0, 0)
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, L, nW, N, C3), qkv.dtype),
+            jax.ShapeDtypeStruct((nW, nh, N, N), jnp.float32),
+        ),
+        grid=(nW, L, B // G),  # (lon, jb) innermost: consecutive dbias
+        in_specs=[             # revisits per window type
+            pl.BlockSpec((G, 1, 1, N, C3), blk3),   # qkv
+            pl.BlockSpec((1, nh, N, N),
+                         lambda w, lon, jb: (w, 0, 0, 0)),
+            pl.BlockSpec(
+                (1, 1, N, N),
+                lambda w, lon, jb: (lon if mL > 1 else 0,
+                                    w if mW > 1 else 0, 0, 0),
+            ),
+            pl.BlockSpec((G, 1, 1, N, C), blk3),    # out
+            pl.BlockSpec((G, 1, 1, N, C), blk3),    # dO
+            pl.BlockSpec((G, 1, 1, nh, N), blk3),   # lse
+        ],
+        out_specs=(
+            pl.BlockSpec((G, 1, 1, N, C3), blk3),
+            pl.BlockSpec((1, nh, N, N),
+                         lambda w, lon, jb: (w, 0, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C3, N), jnp.float32),   # transposed qkv member
+            pltpu.VMEM((C, N), jnp.float32),    # transposed out
+            pltpu.VMEM((C, N), jnp.float32),    # transposed dO
+            pltpu.VMEM((C3, N), jnp.float32),   # head-major dqkv
+        ],
+        interpret=interpret,
+    )(qkv, bias, mask, out, g, lse)
+    return dqkv, dbias.astype(bias.dtype), jnp.zeros_like(mask)
+
+
+_tm_diff.defvjp(_tm_fwd, _tm_bwd)
+
+
+def window_attention_qkv(
+    qkv: jax.Array,
+    bias: jax.Array,
+    mask: jax.Array | None,
+    num_heads: int,
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused small-window attention on the RAW fused-qkv layout.
+
+    qkv:  [B, L, nW, N, 3C] — the qkv Dense output, reshaped (free) so L
+          indexes the mask's lon groups (L = 1 when mask is None).
+    bias: [nW, nh, N, N] KEY-major ([key, query]) per-window-type bias —
+          the layout the in-kernel [Nk, Nq] score tiles consume directly
+          (`expand_earth_bias` emits it; hoisted to `precompute` so no
+          per-step transpose runs inside the rollout scan).
+    mask: [L, nW, N, N] (or broadcastable 1-sized leading dims) additive
+          shift mask, or None.  Must be SYMMETRIC in its trailing [N, N]
+          (true of group-id shift masks, which Pangu/Swin build): the
+          kernel applies it to [key, query]-oriented scores.
+
+    Returns [B, L, nW, N, C].  Differentiable: the fused backward emits
+    dqkv in the same layout (feeding the Dense VJP without concatenation)
+    and the batch-summed dBias; the mask is constant (zero cotangent).
+    """
+    if mask is None:
+        N = qkv.shape[-2]
+        mask = jnp.zeros((1, 1, N, N), qkv.dtype)
+    return _tm_diff(qkv, bias, mask, num_heads, interpret)

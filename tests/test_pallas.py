@@ -472,3 +472,97 @@ class TestPackedWindowAttention:
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
                 err_msg=f"d{name}",
             )
+
+
+def _qkv_oracle(qkv, bias, mask, nh):
+    """Einsum oracle for the token-major layout: qkv [B, L, nW, N, 3C],
+    bias [nW, nh, Nk, Nq] (KEY-major, the kernel layout), mask
+    [L, nW, N, N] (symmetric) or None."""
+    B, L, nW, N, C3 = qkv.shape
+    C = C3 // 3
+    hd = C // nh
+    scale = hd**-0.5
+    q, k, v = (
+        qkv[..., i * C:(i + 1) * C].reshape(B, L, nW, N, nh, hd)
+        for i in range(3)
+    )
+    s = jnp.einsum("blwnhd,blwmhd->blwhnm", q * scale, k)
+    s = s + bias.swapaxes(-1, -2)[None, None]
+    if mask is not None:
+        s = s + mask[None, :, :, None]
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("blwhnm,blwmhd->blwnhd", p, v)
+    return o.reshape(B, L, nW, N, C)
+
+
+class TestWindowAttentionQKV:
+    """Token-major packed kernel (fused-qkv layout, zero host relayout;
+    `window_attention_qkv`) vs einsum oracle."""
+
+    def _rand(self, B, L, nW, N, nh, hd, seed=0, with_mask=True):
+        r = np.random.default_rng(seed)
+        C = nh * hd
+        qkv = jnp.asarray(
+            r.standard_normal((B, L, nW, N, 3 * C)), jnp.float32
+        )
+        bias = jnp.asarray(
+            0.1 * r.standard_normal((nW, nh, N, N)), jnp.float32
+        )
+        if not with_mask:
+            return qkv, bias, None
+        mask = np.zeros((L, nW, N, N), np.float32)
+        for lo in range(L):
+            for w in range(nW):
+                cut = (lo + w + 1) * N // (L + nW + 1)
+                mask[lo, w, :cut, cut:] = -100.0
+                mask[lo, w, cut:, :cut] = -100.0
+        return qkv, bias, jnp.asarray(mask)
+
+    @pytest.mark.parametrize("N,hd,nh", [(144, 16, 2), (72, 32, 3)])
+    def test_matches_oracle(self, N, hd, nh):
+        from dlwpbench_tpu.ops.pallas_attention import window_attention_qkv
+
+        B, L, nW = 4, 3, 2  # B=4 exercises the G>1 multi-member blocks
+        qkv, bias, mask = self._rand(B, L, nW, N, nh, hd)
+        want = np.asarray(_qkv_oracle(qkv, bias, mask, nh))
+        got = np.asarray(
+            window_attention_qkv(qkv, bias, mask, nh, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_no_mask(self):
+        from dlwpbench_tpu.ops.pallas_attention import window_attention_qkv
+
+        qkv, bias, _ = self._rand(6, 1, 3, 48, 2, 16, seed=3,
+                                  with_mask=False)
+        want = np.asarray(_qkv_oracle(qkv, bias, None, 2))
+        got = np.asarray(
+            window_attention_qkv(qkv, bias, None, 2, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_gradients(self):
+        """Fused backward (dqkv in the Dense layout + dBias accumulated
+        across (lon, batch) grid revisits) matches the einsum oracle."""
+        from dlwpbench_tpu.ops.pallas_attention import window_attention_qkv
+
+        B, L, nW, N, nh, hd = 4, 2, 2, 64, 2, 16
+        qkv, bias, mask = self._rand(B, L, nW, N, nh, hd, seed=5)
+        proj = jnp.cos(jnp.arange(nh * hd, dtype=jnp.float32))
+
+        def loss_k(qkv, bias):
+            return (
+                window_attention_qkv(qkv, bias, mask, nh, interpret=True)
+                * proj
+            ).sum()
+
+        def loss_ref(qkv, bias):
+            return (_qkv_oracle(qkv, bias, mask, nh) * proj).sum()
+
+        g1 = jax.grad(loss_k, argnums=(0, 1))(qkv, bias)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
+        for name, a, b in zip(("qkv", "bias"), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name}",
+            )
