@@ -1167,17 +1167,17 @@ def flash_window_attention(
 #
 #   qkv  [B, L, nW, N, 3C]   (a free reshape of the Dense output; L = lon
 #                             groups for Pangu's shift masks, else 1)
-#   bias [nW, nh, N, N]      token-major [Nq, Nk]
-#   mask [L, nW|1, N, N]     additive shift mask, or None
+#   bias [nW, nh, Nk, Nq]    key-major (the in-kernel score orientation)
+#   mask [L, nW|1, N, N]     additive shift mask (symmetric), or None
 #
-# Per-head q/k/v are *lane slices* of the resident [N, 3C] block (hd = 16
-# or 32 within one 128-lane tile), the softmax reduces over lanes, and the
-# backward emits a FUSED dqkv [..., N, 3C] that feeds the Dense backward
-# with no concatenation.  One program covers all heads of G batch members
-# of one (window, lon) cell, so the grid shrinks by nh*G and the dBias
-# accumulator is revisited consecutively across (lon, batch) for each
-# window type.  No operand is transposed, padded, or re-laid-out on the
-# host in either direction: HBM traffic is the tensors themselves.
+# Each program bulk-transposes its members' [N, 3C] blocks into head-major
+# VMEM scratch once, then runs every head in the proven [D, N] MXU forms;
+# the backward emits a FUSED dqkv [..., N, 3C] that feeds the Dense
+# backward with no concatenation.  One program covers all heads of G batch
+# members of one (window, lon) cell, so the grid shrinks by nh*G and the
+# dBias accumulator is revisited consecutively across (lon, batch) for
+# each window type.  No operand is transposed, padded, or re-laid-out on
+# the host in either direction: HBM traffic is the tensors themselves.
 #
 # Replaces the EarthAttention3D packed path (models/pangu.py; reference
 # `panguweather.py:133-211`); the transposed-layout kernel above remains
@@ -1214,8 +1214,8 @@ def _tm_attn_kernel(qkv_ref, bias_ref, mask_ref, o_ref, lse_ref,
             p = jnp.exp(s - mx)
             l = jnp.sum(p, axis=0, keepdims=True)
             o = jax.lax.dot_general(               # [hd, Nq]
-                v, p, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                v, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,  # f32 accumulate
             )
             ot_ref[sl, :] = o / l
             lse_ref[g, 0, 0, h:h + 1, :] = mx + jnp.log(l)
@@ -1238,7 +1238,7 @@ def _tm_bwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, do_ref, lse_ref,
         dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
 
     for g in range(G):
-        xt_ref[:] = qkv_ref[g, 0, 0].T                   # [3C, N]
+        xt_ref[:] = qkv_ref[g, 0, 0].T.astype(jnp.float32)  # [3C, N]
         got_ref[:] = o_ref[g, 0, 0].T.astype(jnp.float32)   # [C, N]
         dot_ref[:] = do_ref[g, 0, 0].T.astype(jnp.float32)  # [C, N]
         for h in range(nh):
@@ -1349,7 +1349,9 @@ def _tm_impl(qkv, bias, mask, nh, interpret=False):
                          lambda w, lon, jb: (jb, lon, w, 0, 0)),
         ),
         scratch_shapes=[
-            pltpu.VMEM((C3, N), jnp.float32),   # transposed qkv member
+            # qkv scratch keeps the input dtype: under bf16 compute the
+            # score/output dots then run single-pass bf16 MXU
+            pltpu.VMEM((C3, N), qkv.dtype),     # transposed qkv member
             pltpu.VMEM((C, N), jnp.float32),    # head-major output
         ],
         interpret=interpret,
@@ -1407,6 +1409,8 @@ def _tm_bwd(nh, interpret, res, g):
                          lambda w, lon, jb: (w, 0, 0, 0)),
         ),
         scratch_shapes=[
+            # f32 throughout the backward: ds/p/drow are f32, and Mosaic
+            # dots require dtype-uniform operands
             pltpu.VMEM((C3, N), jnp.float32),   # transposed qkv member
             pltpu.VMEM((C, N), jnp.float32),    # transposed out
             pltpu.VMEM((C, N), jnp.float32),    # transposed dO

@@ -30,6 +30,10 @@ def main(argv=None):
     ap.add_argument("--seq", type=int, default=15)
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu for relay-less smoke)")
+    ap.add_argument("--dtype", default=None, choices=(None, "bfloat16"),
+                    help="mixed-precision compute dtype (bf16 compute, "
+                         "fp32 master params — the Trainer's recipe); "
+                         "results go to benchmark_training_bf16.json")
     args = ap.parse_args(argv)
 
     import jax
@@ -80,7 +84,8 @@ def main(argv=None):
                       for s in shapes_np[:3])))
             )
             dt, compile_s, mem = measure(
-                model, shapes_np, dev, cpu, rollout_trips=trips
+                model, shapes_np, dev, cpu, rollout_trips=trips,
+                compute_dtype=args.dtype,
             )
             epoch_s = dt * (WINDOWS_PER_EPOCH / B)
             results[name] = {
@@ -102,16 +107,21 @@ def main(argv=None):
             print(f"{name:12s} FAILED: {type(e).__name__}: {e}", flush=True)
 
     os.makedirs("outputs", exist_ok=True)
+    out_name = ("outputs/benchmark_training_bf16.json" if args.dtype
+                else "outputs/benchmark_training.json")
     # merge with any existing results so partial re-runs do not drop models
     try:
-        with open("outputs/benchmark_training.json") as f:
+        with open(out_name) as f:
             prev = json.load(f).get("results", {})
     except Exception:
         prev = {}
     results = {**prev, **results}
-    with open("outputs/benchmark_training.json", "w") as f:
-        json.dump({"batch": B, "seq": T, "results": results}, f, indent=1)
-    print("-> outputs/benchmark_training.json")
+    payload = {"batch": B, "seq": T, "results": results}
+    if args.dtype:
+        payload["compute_dtype"] = args.dtype
+    with open(out_name, "w") as f:
+        json.dump(payload, f, indent=1)
+    print(f"-> {out_name}")
 
 
 if __name__ == "__main__":
