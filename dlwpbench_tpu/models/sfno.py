@@ -138,6 +138,17 @@ class SFNO2DModule(RolloutModel):
     spmd_mesh: Any = None  # jax Mesh: distribute the SHTs over `dist_axis`
     dist_axis: str = "x"
     fft_impl: str = "matmul"  # see SphericalConv.fft_impl
+    # "per_conv": each SphericalConv runs its own distributed SHT pair
+    # (the default; parameter tree identical to the single-device model).
+    # "fused": the whole block stack runs as one chunk-pipelined
+    # shard_map region (`parallel/spectral_dist.py:dist_sfno_blocks`) in
+    # which every transpose overlaps the blocks' pointwise compute —
+    # the batch-1 strong-scaling deployment schedule.  Requires
+    # `use_mlp`; the fused region owns its parameters (`blocks_*`), so
+    # checkpoints are schedule-specific.
+    dist_schedule: str = "per_conv"
+    dist_pipeline_chunks: int = 8   # fused-schedule channel chunks
+    dist_comm_bf16: Any = "auto"    # see SphericalConv.dist_comm_bf16
 
     @nn.compact
     def step(self, x: jax.Array, state: Any) -> tuple[jax.Array, Any]:
@@ -158,18 +169,21 @@ class SFNO2DModule(RolloutModel):
             )
             x = x + pos
 
-        for _ in range(self.num_layers):
-            y = SphericalConv(
-                D, nlat=H, nlon=W, grid=self.grid, lmax=lmax,
-                spmd_mesh=self.spmd_mesh, dist_axis=self.dist_axis,
-                fft_impl=self.fft_impl,
-            )(x)
-            y = y + nn.Dense(D)(x)  # inner skip
-            x = nn.gelu(y)
-            if self.use_mlp:
-                h = nn.Dense(2 * D)(x)
-                h = nn.gelu(h)
-                x = x + nn.Dense(D)(h)
+        if self.spmd_mesh is not None and self.dist_schedule == "fused":
+            x = self._fused_blocks(x, lmax)
+        else:
+            for _ in range(self.num_layers):
+                y = SphericalConv(
+                    D, nlat=H, nlon=W, grid=self.grid, lmax=lmax,
+                    spmd_mesh=self.spmd_mesh, dist_axis=self.dist_axis,
+                    fft_impl=self.fft_impl,
+                )(x)
+                y = y + nn.Dense(D)(x)  # inner skip
+                x = nn.gelu(y)
+                if self.use_mlp:
+                    h = nn.Dense(2 * D)(x)
+                    h = nn.gelu(h)
+                    x = x + nn.Dense(D)(h)
 
         if self.big_skip:
             x = jnp.concatenate([x, inp], axis=-1)
@@ -177,3 +191,57 @@ class SFNO2DModule(RolloutModel):
         x = nn.gelu(x)
         out = nn.Dense(self.prognostic_channels)(x)
         return out, state
+
+    def _fused_blocks(self, x: jax.Array, lmax: int) -> jax.Array:
+        """Chunk-pipelined block stack (`dist_schedule="fused"`): same math
+        as the per-layer loop, scheduled so every SHT transpose overlaps
+        pointwise compute (`parallel/spectral_dist.py:dist_sfno_blocks`)."""
+        import functools
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from dlwpbench_tpu.parallel.spectral_dist import dist_sfno_blocks
+
+        assert self.use_mlp, "fused schedule covers the use_mlp block form"
+        B, H, W, D = x.shape
+        t = sht_tables(H, W, lmax, None, self.grid)
+        scale = 1.0 / np.sqrt(D * D)
+        lecun = nn.initializers.lecun_normal()
+        zeros = nn.initializers.zeros
+        layers = []
+        for i in range(self.num_layers):
+            layers.append({
+                "spec": self.param(
+                    f"blocks_{i}_spec",
+                    lambda k, s=scale: s
+                    * jax.random.normal(k, (D, D, t.lmax, 2)),
+                ),
+                "skip_k": self.param(f"blocks_{i}_skip_kernel", lecun, (D, D)),
+                "skip_b": self.param(f"blocks_{i}_skip_bias", zeros, (D,)),
+                "mlp1_k": self.param(
+                    f"blocks_{i}_mlp1_kernel", lecun, (D, 2 * D)
+                ),
+                "mlp1_b": self.param(f"blocks_{i}_mlp1_bias", zeros, (2 * D,)),
+                "mlp2_k": self.param(
+                    f"blocks_{i}_mlp2_kernel", lecun, (2 * D, D)
+                ),
+                "mlp2_b": self.param(f"blocks_{i}_mlp2_bias", zeros, (D,)),
+            })
+        bf16_comm = self.dist_comm_bf16 is True or (
+            self.dist_comm_bf16 == "auto" and x.dtype == jnp.bfloat16
+        )
+        fn = shard_map(
+            functools.partial(
+                dist_sfno_blocks,
+                tables=t,
+                axis_name=self.dist_axis,
+                pipeline_chunks=self.dist_pipeline_chunks,
+                comm_dtype=jnp.bfloat16 if bf16_comm else None,
+            ),
+            mesh=self.spmd_mesh,
+            in_specs=(P(None, self.dist_axis, None, None), P()),
+            out_specs=P(None, self.dist_axis, None, None),
+        )
+        return fn(x, layers)
+

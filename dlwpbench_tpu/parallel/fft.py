@@ -78,7 +78,12 @@ def dist_irfft2(Xf_local: jax.Array, axis_name: str, W: int) -> jax.Array:
     parts = [xf[i] for i in range(p)]
     xf = jnp.concatenate(parts, axis=-1)  # [..., H/P, Wf_pad]
     wf = W // 2 + 1
-    return jnp.fft.irfft(xf[..., :wf], n=W, axis=-1)
+    # rank-2 flatten: rank>2 complex FFTs hang the axon relay compiler
+    # (same guard as the forward's local rfft above); identical math.
+    xf = xf[..., :wf]
+    shp = xf.shape
+    out = jnp.fft.irfft(xf.reshape(-1, wf), n=W, axis=-1)
+    return out.reshape(*shp[:-1], W)
 
 
 def make_dist_rfft2(mesh: Mesh, ndim: int = 2, axis_name: str = "x"):

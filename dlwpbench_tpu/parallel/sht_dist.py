@@ -183,7 +183,13 @@ def dist_isht(
         nfreq = tables.nlon // 2 + 1
         X = X[..., : tables.mmax]
         X = jnp.pad(X, [(0, 0)] * (X.ndim - 1) + [(0, nfreq - tables.mmax)])
-        return jnp.fft.irfft(X, n=tables.nlon, axis=-1, norm="forward")
+        # rank-2 flatten: rank>2 complex FFTs hang the axon relay compiler
+        # (same guard as `_vma_safe_rfft`); identical math.
+        shape = X.shape
+        out = jnp.fft.irfft(
+            X.reshape(-1, nfreq), n=tables.nlon, axis=-1, norm="forward"
+        )
+        return out.reshape(*shape[:-1], tables.nlon)
 
     if pipeline_chunks <= 1 or a_local.ndim < 3:
         return back(synth(a_local))

@@ -481,6 +481,122 @@ class TestDistributedSpectralLayers:
         )
         assert max(jax.tree.leaves(diff)) < 5e-3
 
+    def _fused_setup(self, num_layers=2, K=3):
+        """Raw-weight SFNO block stack + single-device reference math
+        (`models/sfno.py:161-172` composition: conv + skip -> gelu ->
+        MLP residual), for the fused chunk-pipelined schedule."""
+        from dlwpbench_tpu.ops.sht import sht_tables
+
+        mesh = _mesh_x(4)
+        nlat, nlon, C, HD = 16, 32, 6, 12
+        t = sht_tables(nlat, nlon, grid="equiangular")
+        rng = np.random.default_rng(21)
+
+        def r(*shape, s=0.3):
+            return jnp.asarray(s * rng.standard_normal(shape), jnp.float32)
+
+        layers = [
+            {
+                "spec": r(C, C, t.lmax, 2),
+                "skip_k": r(C, C), "skip_b": r(C),
+                "mlp1_k": r(C, HD), "mlp1_b": r(HD),
+                "mlp2_k": r(HD, C), "mlp2_b": r(C),
+            }
+            for _ in range(num_layers)
+        ]
+        x = jnp.asarray(
+            rng.standard_normal((2, nlat, nlon, C)), jnp.float32
+        )
+        return mesh, t, x, layers
+
+    @staticmethod
+    def _fused_ref(x, layers, t):
+        """Single-device block-stack math (channels-last in/out)."""
+        from dlwpbench_tpu.ops.sht import isht, sht
+
+        for L in layers:
+            wc = L["spec"][..., 0] + 1j * L["spec"][..., 1]
+            a = sht(jnp.moveaxis(x, -1, 1), t)
+            conv = jnp.moveaxis(
+                isht(jnp.einsum("bilm,iol->bolm", a, wc), t), 1, -1
+            )
+            z = jax.nn.gelu(conv + x @ L["skip_k"] + L["skip_b"])
+            h = jax.nn.gelu(z @ L["mlp1_k"] + L["mlp1_b"])
+            x = z + h @ L["mlp2_k"] + L["mlp2_b"]
+        return x
+
+    @pytest.mark.parametrize("K", [1, 3, 6])
+    def test_fused_sfno_blocks_match_per_layer_math(self, K):
+        """The fused cross-boundary pipeline (dist_sfno_blocks) is the same
+        math as the per-layer composition for any chunk count, including
+        uneven splits (C=6, K=3) and the no-chunk edge (K=1)."""
+        from dlwpbench_tpu.parallel.spectral_dist import make_dist_sfno_blocks
+
+        mesh, t, x, layers = self._fused_setup()
+        ref = np.asarray(self._fused_ref(x, layers, t))
+        fn = make_dist_sfno_blocks(mesh, t, pipeline_chunks=K)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "x", None, None)))
+        out = np.asarray(jax.jit(fn)(xs, layers))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    def test_fused_sfno_blocks_gradients(self):
+        """Input and parameter gradients of the fused schedule match the
+        single-device composition (differentiable through the chunked
+        transposes and partial-sum contractions)."""
+        from dlwpbench_tpu.parallel.spectral_dist import make_dist_sfno_blocks
+
+        mesh, t, x, layers = self._fused_setup(num_layers=1, K=3)
+        fn = make_dist_sfno_blocks(mesh, t, pipeline_chunks=3)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "x", None, None)))
+
+        g_ref = jax.grad(
+            lambda a, ls: jnp.sum(self._fused_ref(a, ls, t) ** 2), (0, 1)
+        )(x, layers)
+        g = jax.jit(
+            jax.grad(lambda a, ls: jnp.sum(fn(a, ls) ** 2), (0, 1))
+        )(xs, layers)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3
+            )
+
+    def test_sfno_model_fused_schedule_runs_and_chunk_invariant(self):
+        """SFNO2DModule(dist_schedule="fused"): forward runs on the mesh,
+        outputs are chunk-count invariant, grads are finite."""
+        from dlwpbench_tpu.models.sfno import SFNO2DModule
+
+        mesh = _mesh_x(4)
+        kw = dict(
+            constant_channels=0, prescribed_channels=0,
+            prognostic_channels=2, num_layers=2, embed_dim=8,
+            context_size=1, height=16, width=32,
+            spmd_mesh=mesh, dist_schedule="fused",
+        )
+        m4 = SFNO2DModule(dist_pipeline_chunks=4, **kw)
+        m1 = SFNO2DModule(dist_pipeline_chunks=1, **kw)
+        prog = jnp.asarray(
+            np.random.default_rng(5).standard_normal((2, 3, 2, 16, 32)),
+            jnp.float32,
+        )
+        params = m4.init(jax.random.PRNGKey(0), None, None, prog)
+        assert "blocks_0_spec" in str(
+            jax.tree_util.tree_flatten_with_path(params)[0]
+        )
+        ps = jax.device_put(
+            prog, NamedSharding(mesh, P(None, None, None, "x", None))
+        )
+        o4 = np.asarray(jax.jit(
+            lambda p, a: m4.apply(p, None, None, a))(params, ps))
+        o1 = np.asarray(jax.jit(
+            lambda p, a: m1.apply(p, None, None, a))(params, ps))
+        np.testing.assert_allclose(o4, o1, rtol=2e-4, atol=2e-4)
+        g = jax.jit(jax.grad(
+            lambda p, a: (m4.apply(p, None, None, a) ** 2).mean()
+        ))(params, ps)
+        assert all(
+            bool(jnp.isfinite(v).all()) for v in jax.tree.leaves(g)
+        )
+
     def test_fourcastnet_with_distributed_afno_matches_single_device(self):
         """FourCastNet(spmd_mesh=...) runs its AFNO filters over the
         distributed rFFT2; rollout and grads must match single-device."""
