@@ -11,6 +11,11 @@ spatial fields never need to be gathered on one chip:
   SHT (m-sharded coefficients), per-degree channel contraction (the weight
   is m-independent, so it stays fully replicated and the contraction is
   embarrassingly parallel over the local m-block), distributed inverse SHT.
+- `dist_sfno_blocks` — the whole SFNO block stack as one fused
+  chunk-pipelined schedule (activations stay chunked over channels across
+  layer boundaries), the batch-1 strong-scaling deployment: every
+  transpose overlaps pointwise compute, modeled 0.911 efficiency at
+  8 chips at 5.625 deg vs 0.689 per-conv (`scripts/scaling_model.py`).
 - `dist_afno_filter` — FourCastNet's AFNO block-diagonal MLP filter
   (`models/fourcastnet.py:AFNO2DFilter`) on latitude-sharded fields over the
   distributed rFFT2: mode masking is computed per-shard from the global
