@@ -164,9 +164,20 @@ def model_families(H, W, comm_elem_bytes):
         return proc + g2m, 1, 0.0
 
     def swin_ring(P):
+        # ring attention IS a P-stage software pipeline by construction
+        # (`parallel/ring_attention.py`): each kv rotation only READS the
+        # same chunk the flash kernel reads, so the ppermute of step r+1
+        # issues concurrently with step r's kernel — P-1 of P rotations
+        # hide behind per-step attention compute (async collective
+        # permute + latency-hiding scheduler, the same contract as the
+        # SFNO chunk pipelines).  alpha = attention share of step FLOPs
+        # (O(N^2) attn vs O(N) mlp, ~50/50 at 32x64 per
+        # attention_training_notes.md, so attn share = area/(area+1)).
         N = H * W
         per_call = 2 * B * N / max(P, 1) * C_ACT * 4
-        return SEQ * 2 * 8 * per_call * (P - 1), 1, 0.0
+        area = N / (32 * 64)
+        alpha = area / (area + 1.0)
+        return SEQ * 2 * 8 * per_call * (P - 1), max(P, 1), alpha
 
     return {
         "unet": unet, "sfno2d": sfno, "sfno2d_fused": sfno_fused,
@@ -265,6 +276,9 @@ def main(argv=None):
                     elif fam == "sfno2d_fused":
                         sched = ("fused block-stack pipeline K=8, "
                                  f"{comm_name} payloads (dist_schedule=fused)")
+                    elif fam == "swin_ring":
+                        sched = ("P-stage ring pipeline (rotations hidden "
+                                 "behind per-step attention)")
                     else:
                         sched = "direct"
                     results[key] = {
