@@ -560,6 +560,23 @@ class TestDistributedSpectralLayers:
                 np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3
             )
 
+    def test_fused_sfno_blocks_bf16_comm_within_tolerance(self):
+        """bf16 transpose payloads under the fused schedule: one rounding
+        per coefficient crossing, so outputs track fp32 comm to bf16
+        precision of the field scale."""
+        from dlwpbench_tpu.parallel.spectral_dist import make_dist_sfno_blocks
+
+        mesh, t, x, layers = self._fused_setup()
+        fn32 = make_dist_sfno_blocks(mesh, t, pipeline_chunks=3)
+        fnbf = make_dist_sfno_blocks(
+            mesh, t, pipeline_chunks=3, comm_dtype=jnp.bfloat16
+        )
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "x", None, None)))
+        o32 = np.asarray(jax.jit(fn32)(xs, layers))
+        obf = np.asarray(jax.jit(fnbf)(xs, layers))
+        scale = np.abs(o32).max()
+        np.testing.assert_allclose(obf / scale, o32 / scale, atol=3e-2)
+
     def test_sfno_model_fused_schedule_runs_and_chunk_invariant(self):
         """SFNO2DModule(dist_schedule="fused"): forward runs on the mesh,
         outputs are chunk-count invariant, grads are finite."""
