@@ -169,6 +169,12 @@ class SFNO2DModule(RolloutModel):
             )
             x = x + pos
 
+        if self.dist_schedule not in ("per_conv", "fused"):
+            raise ValueError(
+                f"dist_schedule={self.dist_schedule!r}: expected 'per_conv' or "
+                "'fused' (the two schedules have different parameter trees, so "
+                "a silent fallback would train a different model)"
+            )
         if self.spmd_mesh is not None and self.dist_schedule == "fused":
             x = self._fused_blocks(x, lmax)
         else:
@@ -177,6 +183,8 @@ class SFNO2DModule(RolloutModel):
                     D, nlat=H, nlon=W, grid=self.grid, lmax=lmax,
                     spmd_mesh=self.spmd_mesh, dist_axis=self.dist_axis,
                     fft_impl=self.fft_impl,
+                    dist_pipeline_chunks=self.dist_pipeline_chunks,
+                    dist_comm_bf16=self.dist_comm_bf16,
                 )(x)
                 y = y + nn.Dense(D)(x)  # inner skip
                 x = nn.gelu(y)

@@ -51,6 +51,13 @@ def initialize(spec: dict | None = None) -> bool:
     """
     import jax
 
+    # idempotent: a process that already joined (e.g. the CLI called after
+    # a library-level initialize) must not re-run the handshake.
+    # is_initialized() does NOT touch the XLA backend, which must stay
+    # uninitialized until the real jax.distributed.initialize call.
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
+
     spec = spec or torch_style_spec()
     if spec is not None:
         if spec["num_processes"] <= 1:

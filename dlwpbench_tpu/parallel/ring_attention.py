@@ -68,6 +68,16 @@ def ring_window_attention(
     ring = [(i, (i + 1) % p) for i in range(p)]
 
     for r in range(p):
+        # Double buffering: ISSUE the rotation of the next kv chunk before
+        # attending to the current one.  The permute reads only (kc, vc) —
+        # never this round's attention output — so the collective-permute
+        # start can ride the ICI while the flash kernel runs; issuing it
+        # first makes that independence explicit in program order for
+        # XLA's latency-hiding scheduler (audited structurally by
+        # `scripts/schedule_audit.py`).
+        if r < p - 1:  # last chunk needs no further rotation
+            k_next = lax.ppermute(kc, axis_name, ring)
+            v_next = lax.ppermute(vc, axis_name, ring)
         # the kv chunk now held originated at rank (idx - r) % p: select the
         # matching global bias columns for these keys
         src = lax.rem(idx - r + p, p)
@@ -80,9 +90,8 @@ def ring_window_attention(
         w_new = jnp.moveaxis(jnp.exp(lse_c - lse_new), -1, -2)
         out = out * w_old + o_c.astype(jnp.float32) * w_new
         lse = lse_new
-        if r < p - 1:  # last chunk needs no further rotation
-            kc = lax.ppermute(kc, axis_name, ring)
-            vc = lax.ppermute(vc, axis_name, ring)
+        if r < p - 1:
+            kc, vc = k_next, v_next
     return out.astype(q_local.dtype)
 
 
@@ -93,6 +102,7 @@ def ring_attention_sharded(
     bias: jax.Array,
     mesh: Mesh,
     axis: str = "x",
+    head_axis: str | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """Global-array entry point: shards the token axis of q/k/v and the
@@ -100,21 +110,35 @@ def ring_attention_sharded(
     full-sequence output with the same sharding as q.
 
     q, k, v: [B, H, N, D]; bias [H, N, N] or [G, H, N, N]; N % P == 0.
+
+    `head_axis` adds the 2D (sequence x head) decomposition for >8-chip
+    strong scaling (VERDICT r4 #6): attention is embarrassingly parallel
+    over heads, so sharding H over a second mesh axis divides the ring's
+    kv payload AND the per-chip compute by the head-axis size with no new
+    collectives inside the ring — each head group runs its own ring over
+    its `axis` subgroup.  (The surrounding projections become standard
+    Megatron TP in the model; this function only owns the ring.)
     """
     if bias.ndim == 3:
         bias = bias[None]
     p = mesh.shape[axis]
     N = q.shape[2]
     assert N % p == 0, f"token count {N} must divide the '{axis}' axis ({p})"
+    if head_axis is not None:
+        ph = mesh.shape[head_axis]
+        assert q.shape[1] % ph == 0, (
+            f"head count {q.shape[1]} must divide the "
+            f"'{head_axis}' axis ({ph})"
+        )
 
     fn = functools.partial(
         ring_window_attention, axis_name=axis, interpret=interpret
     )
-    seq = P(None, None, axis, None)
+    seq = P(None, head_axis, axis, None)
     out = jax.shard_map(
         fn,
         mesh=mesh,
-        in_specs=(seq, seq, seq, P(None, None, axis, None)),
+        in_specs=(seq, seq, seq, P(None, head_axis, axis, None)),
         out_specs=seq,
         check_vma=False,
     )(q, k, v, bias)

@@ -176,6 +176,142 @@ def dist_sfno_blocks(
     return jnp.concatenate(xc, axis=-1)
 
 
+def dist_sfno_blocks_2d(
+    x_local: jax.Array,
+    layers: list,
+    tables: SHTTables,
+    axis_x: str,
+    axis_c: str,
+    pipeline_chunks: int = 4,
+    comm_dtype=None,
+) -> jax.Array:
+    """The fused SFNO block stack on a 2D (latitude x channel) mesh —
+    the >8-chip strong-scaling schedule (VERDICT r4 #6).
+
+    Past ~8 chips the 1D latitude decomposition collapses: transpose
+    payload per chip falls only as (P-1)/P while compute falls as 1/P.
+    Sharding channels over a second axis `axis_c` (size Q) divides BOTH
+    the spatial transpose payload (each channel group transposes only its
+    C/Q channels, within its Q-fold smaller x-group) and the compute —
+    the comm:compute ratio at P = Px*Q chips matches the 1D schedule at
+    Px chips.  The price is Megatron-style channel reductions
+    (`psum_scatter` over `axis_c`) on the mixer output, the skip Dense,
+    and the two MLP matmuls — all bandwidth (Q-1)/Q * activation/Q and
+    all K-chunk-pipelined behind the same compute windows
+    (`scripts/schedule_audit.py` audits the windows structurally).
+
+    x_local: [B, nlat/Px, nlon, C/Q] channels-last local block (latitude
+    sharded over `axis_x`, channels over `axis_c`).  `layers` uses the
+    same replicated parameter pytree as `dist_sfno_blocks`.
+    Identical math to the 1D schedule — only fp partial-sum order
+    reassociates (oracle-tested against the single-device composition).
+    """
+    from dlwpbench_tpu.parallel.sht_dist import _chunk_starts
+
+    C_loc = x_local.shape[-1]
+    Q = lax.axis_size(axis_c)
+    cq = lax.axis_index(axis_c)
+    dt = x_local.dtype
+    ch = _chunk_starts(C_loc, pipeline_chunks)
+    for L in layers:
+        assert L["mlp1_k"].shape[1] % Q == 0, (
+            f"MLP hidden dim {L['mlp1_k'].shape[1]} must divide the "
+            f"channel axis ({Q})"
+        )
+
+    def rs(x, axis=-1):
+        """psum_scatter over the channel axis (tiled: [.., N] -> [.., N/Q]),
+        ordered by axis_c index so chunk q holds rows [q*N/Q:(q+1)*N/Q]."""
+        return lax.psum_scatter(x, axis_c, scatter_dimension=x.ndim + axis
+                                if axis < 0 else axis, tiled=True)
+
+    for L in layers:
+        wc = L["spec"][..., 0] + 1j * L["spec"][..., 1]  # [C, C, lmax]
+        # this chip's input-channel block [cq*C_loc, (cq+1)*C_loc)
+        i0 = cq * C_loc
+        skip_k = lax.dynamic_slice_in_dim(L["skip_k"], i0, C_loc, axis=0)
+        # skip Dense: local-input partial over ALL outputs, then
+        # reduce-scatter back to this chip's output chunk
+        skip = rs(x_local @ skip_k) + lax.dynamic_slice_in_dim(
+            L["skip_b"], i0, C_loc, axis=0
+        )
+
+        # analysis + mixer, K-chunk pipelined over LOCAL input channels;
+        # partial spectrum covers ALL C outputs (complex as [..., 2] pairs
+        # for the channel reduction)
+        out = None
+        for s, n in ch:
+            a_k = dist_sht(
+                jnp.moveaxis(
+                    x_local[..., s : s + n], -1, -3
+                ).astype(jnp.float32),
+                tables, axis_x, comm_dtype=comm_dtype,
+            )
+            w_k = lax.dynamic_slice_in_dim(wc, i0 + s, n, axis=0)
+            p_k = jnp.einsum("...ilm,iol->...olm", a_k,
+                             w_k.astype(a_k.dtype))
+            out = p_k if out is None else out + p_k
+        # channel reduction of the spectral partials: [.., C, lmax, m_loc]
+        # -> [.., C/Q, lmax, m_loc] (real/imag stacked — complex never
+        # crosses the collective)
+        out_ri = jnp.stack([out.real, out.imag], axis=-1)
+        out_ri = rs(out_ri, axis=-4)
+        out = out_ri[..., 0] + 1j * out_ri[..., 1]
+
+        # synthesis + gelu + MLP first layer, pipelined over local outputs
+        z_chunks, h = [], None
+        for s, n in ch:
+            y_k = dist_isht(
+                lax.slice_in_dim(out, s, s + n, axis=-3),
+                tables, axis_x, comm_dtype=comm_dtype,
+            )
+            z_k = jax.nn.gelu(
+                jnp.moveaxis(y_k, -3, -1).astype(dt) + skip[..., s : s + n]
+            )
+            z_chunks.append(z_k)
+            m1_k = lax.dynamic_slice_in_dim(
+                L["mlp1_k"], i0 + s, n, axis=0
+            )
+            h_k = z_k @ m1_k
+            h = h_k if h is None else h + h_k
+        # channel reduction of the hidden partial; this chip keeps hidden
+        # block [cq*HD/Q, ...) and the matching mlp2 rows
+        HD = L["mlp1_k"].shape[1]
+        HD_loc = HD // Q
+        h = rs(h) + lax.dynamic_slice_in_dim(
+            L["mlp1_b"], cq * HD_loc, HD_loc, axis=0
+        )
+        h = jax.nn.gelu(h)
+        m2_k = lax.dynamic_slice_in_dim(
+            L["mlp2_k"], cq * HD_loc, HD_loc, axis=0
+        )
+        o = rs(h @ m2_k) + lax.dynamic_slice_in_dim(
+            L["mlp2_b"], i0, C_loc, axis=0
+        )
+        x_local = jnp.concatenate(z_chunks, axis=-1) + o
+    return x_local
+
+
+def make_dist_sfno_blocks_2d(
+    mesh: Mesh, tables: SHTTables, axis_x: str = "x", axis_c: str = "c",
+    pipeline_chunks: int = 4, comm_dtype=None,
+):
+    """Standalone wrapper on globally sharded [B, nlat, nlon, C] fields
+    (latitude over `axis_x`, channels over `axis_c`; params replicated)."""
+    from jax import shard_map
+
+    return shard_map(
+        functools.partial(
+            dist_sfno_blocks_2d, tables=tables, axis_x=axis_x,
+            axis_c=axis_c, pipeline_chunks=pipeline_chunks,
+            comm_dtype=comm_dtype,
+        ),
+        mesh=mesh,
+        in_specs=(P(None, axis_x, None, axis_c), P()),
+        out_specs=P(None, axis_x, None, axis_c),
+    )
+
+
 def make_dist_sfno_blocks(
     mesh: Mesh, tables: SHTTables, axis_name: str = "x",
     pipeline_chunks: int = 8, comm_dtype=None,

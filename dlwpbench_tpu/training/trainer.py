@@ -328,8 +328,13 @@ class Trainer:
         on_epoch_end: Optional[Callable] = None,
     ) -> TrainState:
         val_batch_size = val_batch_size or batch_size
+        # In a true multi-process job only process 0 touches the run dir:
+        # every process holds identical (replicated) state, and concurrent
+        # writers would race on the same checkpoint tmp file (the reference
+        # gates on dist.get_rank()==0 the same way, `train.py:464-474`).
+        is_proc0 = jax.process_index() == 0
         logger = None
-        if run_dir:
+        if run_dir and is_proc0:
             from dlwpbench_tpu.utils.logging import RunLogger
 
             logger = RunLogger(run_dir)
@@ -362,8 +367,12 @@ class Trainer:
             if run_dir:
                 if val_loss < state.best_val_error:
                     state.best_val_error = val_loss
-                    ckpt_writer.submit(run_dir, model_name, state, kind="best")
-                ckpt_writer.submit(run_dir, model_name, state, kind="last")
+                    if is_proc0:
+                        ckpt_writer.submit(
+                            run_dir, model_name, state, kind="best"
+                        )
+                if is_proc0:
+                    ckpt_writer.submit(run_dir, model_name, state, kind="last")
             if on_epoch_end:
                 on_epoch_end(state, train_loss, val_loss, per_lead)
         ckpt_writer.join()  # all checkpoints durable before fit() returns
@@ -375,12 +384,36 @@ class Trainer:
 def _j(x, sharding=None):
     if x is None:
         return None
-    x = jnp.asarray(x)
     if sharding is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
         axis = sharding.spec[0] if sharding.spec else None
         n = sharding.mesh.shape[axis] if axis else 1
+        if jax.process_count() > 1:
+            # True multi-process (reference DDP, `manager.py:29-34`): this
+            # process holds only ITS shard of the global batch
+            # (`dataset.batches(host_id=...)`), so the global Array must be
+            # assembled from per-process data — device_put would wrongly
+            # treat the local shard as the whole global batch.
+            x = np.asarray(x)
+            local_n = max(
+                1,
+                len([d for d in sharding.mesh.devices.flat
+                     if d.process_index == jax.process_index()])
+                // (sharding.mesh.size // n),
+            ) if axis else 1
+            if x.ndim and axis and x.shape[0] % local_n == 0:
+                return jax.make_array_from_process_local_data(sharding, x)
+            # ragged / unsharded batch: every process contributes its rows
+            # to a replicated global batch (remainders are kept, matching
+            # the reference's `train.py:179-183`)
+            from jax.experimental import multihost_utils
+
+            x_glob = multihost_utils.process_allgather(x, tiled=True)
+            return jax.make_array_from_process_local_data(
+                NamedSharding(sharding.mesh, PartitionSpec()), x_glob
+            )
+        x = jnp.asarray(x)
         if x.ndim and x.shape[0] % n == 0:
             return jax.device_put(x, sharding)
         # remainder batch (reference keeps remainders, train.py:179-183):
@@ -388,7 +421,7 @@ def _j(x, sharding=None):
         return jax.device_put(
             x, NamedSharding(sharding.mesh, PartitionSpec())
         )
-    return x
+    return jnp.asarray(x)
 
 
 def _prefetch_to_device(batch_iter, depth: int = 2, sharding=None):

@@ -200,6 +200,16 @@ def main(argv=None):
           f"R^2 {results['timing']['r2_linear_in_bytes']}", flush=True)
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    # merge-preserve sections owned by other auditors (schedule_audit is
+    # written by scripts/schedule_audit.py)
+    if os.path.exists(args.out):
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            for k, v in prev.items():
+                results.setdefault(k, v)
+        except Exception:
+            pass
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
     print(f"-> {args.out}")

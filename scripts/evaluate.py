@@ -47,13 +47,22 @@ def evaluate_run(run_dir: str, sequence_length: int, batch_size: int, video: boo
             "reduce --sequence-length or enlarge the test period"
         )
 
-    trainer = Trainer(model, epochs=1)
+    # Diffusion runs evaluate with the EMA weights (reference
+    # `evaluate.py:229-241` restores the EMA state dict for the
+    # PDE-Refiner track); the template TrainState must carry an
+    # ema_params slot for load_checkpoint to restore it.
+    training_type = str(cfg.training.get("type", "regular"))
+    trainer = Trainer(model, epochs=1, training_type=training_type)
     state = trainer.init(next(iter(test_ds.batches(1))))
     state = load_checkpoint(run_dir, cfg.model.name, state, kind="best")
-    print(f"Restored {cfg.model.name} (epoch {state.epoch})")
+    eval_params = (
+        state.ema_params if state.ema_params is not None else state.params
+    )
+    which = "EMA" if state.ema_params is not None else "raw"
+    print(f"Restored {cfg.model.name} (epoch {state.epoch}, {which} weights)")
 
     inits, outputs, targets = E.rollout_dataset(
-        model, state.params, test_ds, batch_size
+        model, eval_params, test_ds, batch_size
     )
     print(f"Rollout: {outputs.shape}")
 
@@ -90,8 +99,19 @@ def evaluate_run(run_dir: str, sequence_length: int, batch_size: int, video: boo
     clim_path = os.path.join("outputs", "climatology", "evaluation", "outputs.npz")
     if os.path.exists(clim_path):
         clim_arr = np.load(clim_path)["outputs"]
-        if clim_arr.shape[1] >= outputs.shape[1] and clim_arr.shape[0] >= outputs.shape[0]:
+        if (
+            clim_arr.shape[1] >= outputs.shape[1]
+            and clim_arr.shape[0] >= outputs.shape[0]
+            # a stale climatology from a different run geometry must not
+            # feed ACC (outputs/climatology is shared across runs)
+            and clim_arr.shape[2:] == outputs.shape[2:]
+        ):
             clim = clim_arr[: outputs.shape[0], : outputs.shape[1]]
+        else:
+            print(
+                f"skipping climatology {clim_arr.shape} (mismatch vs "
+                f"forecasts {outputs.shape}); ACC not computed"
+            )
     results = E.compute_metrics(
         outputs, targets, lats, var_names, out_dir, climatology=clim,
         # lead-step length: explicit timedelta_hours wins (daily-stored

@@ -31,6 +31,16 @@ FAMILIES = {
     # the remat attention temporaries inside HBM (batch 16 OOMs at 16 GB)
     "pangu": ("panguweather", ["training.batch_size=8"]),
     "mgn": ("meshgraphnet", []),
+    "modernunet": ("modernunet", []),
+    "fcnv2": ("fourcastnetv2", []),
+    # PDE-Refiner diffusion track: v-prediction training (training=diffusion)
+    # needs sequence_length == context_size + 1 = 3; eval runs the full DDPM
+    # refinement loop per rollout step (model __call__).
+    "diffusion": ("diffusion_modernunet", [
+        "training=diffusion",
+        "training.sequence_length=3",
+        "validation.sequence_length=3",
+    ]),
     # the WeatherBench-scale default (512 hidden x 16 layers) is oversized
     # for the 64x64 single-channel NS track; match the other families' scale
     "graphcast": ("graphcast", ["model.hidden_dim=128",

@@ -99,6 +99,14 @@ SFNO_LAYERS = 4
 GC_LAYERS = 16
 GC_DIM = 512
 
+# Measured single-chip cost of the fused block-stack schedule relative to
+# the per-conv path at the same size (results/fused_sfno_notes.md: 2.08 ms
+# vs 0.93 ms per rollout step, B=1 32x64 C=256 K=8 on the real v5e chip) —
+# the K-chunked FFT dispatch overhead is fused-specific and must seed the
+# fused rows' compute time (ADVICE r4).  The virtual-mesh K=8/K=1 ratio
+# (~1.5x, collective_microbench.json schedule_audit) corroborates the form.
+FUSED_SINGLE_CHIP_OVERHEAD = 2.08 / 0.93
+
 
 def sfno_layer_flops(H, W, C):
     """(spectral, pointwise) FLOPs of one SFNO block — ratio feeds both the
@@ -151,6 +159,30 @@ def model_families(H, W, comm_elem_bytes):
         alpha = block / (block + encdec_per_layer)
         return comm, 8, alpha  # K=8: SFNO2DModule.dist_pipeline_chunks
 
+    def sfno_fused_2d(P):
+        # 2D latitude x channel mesh (`dist_sfno_blocks_2d`, oracle-tested
+        # in tests/test_parallel.py::test_fused_2d_*): x_sp <= 8 chips
+        # shard latitude, the rest shard channels (Q = P/x_sp).  Each
+        # channel group transposes only its C/Q channels within its
+        # Q-fold smaller x-group, so the comm:compute ratio at P chips
+        # matches the 1D schedule at x_sp chips; the added Megatron-style
+        # psum_scatter channel reductions (skip, spectral partials, two
+        # MLP matmuls -- ~5 activation-sized inputs/layer, each A/x_sp
+        # per chip) ride the same K-chunk pipeline.
+        x_sp = min(P, 8)
+        Qc = max(1, P // x_sp)
+        act = B * H * W * C_ACT * comm_elem_bytes
+        spatial = SEQ * 2 * (2 * SFNO_LAYERS) * (act / Qc) \
+            * (x_sp - 1) / x_sp
+        chanred = SEQ * 2 * SFNO_LAYERS * 5 * (act / x_sp) \
+            * (Qc - 1) / max(Qc, 1)
+        spec, point = sfno_layer_flops(H, W, C_ACT)
+        skip = 2 * H * W * C_ACT * C_ACT
+        encdec_per_layer = 8 * H * W * C_ACT * C_ACT / SFNO_LAYERS
+        block = spec + point + skip
+        alpha = block / (block + encdec_per_layer)
+        return spatial + chanred, 8, alpha
+
     def graphcast(P):
         # icosphere level tied to resolution (reference README.md:89:
         # L=3 at 5.625deg); multimesh vertices = 10*4^L + 2
@@ -179,9 +211,29 @@ def model_families(H, W, comm_elem_bytes):
         alpha = area / (area + 1.0)
         return SEQ * 2 * 8 * per_call * (P - 1), max(P, 1), alpha
 
+    def swin_ring_2d(P):
+        # 2D (sequence x head) ring (`ring_attention_sharded(head_axis=)`,
+        # oracle-tested in TestRingAttention::test_2d_seq_x_head_*):
+        # x_seq <= 8 chips shard tokens, the rest shard heads.  The ring's
+        # kv payload divides by BOTH axes; the head-TP projections around
+        # the ring add 2 Megatron reductions per block of the local
+        # activation, (Qh-1)/Qh cross-link.
+        x_seq = min(P, 8)
+        Qh = max(1, P // x_seq)
+        N = H * W
+        per_call = 2 * B * (N / x_seq) * (C_ACT / Qh) * 4
+        ring = SEQ * 2 * 8 * per_call * (x_seq - 1)
+        act_loc = B * (N / x_seq) * C_ACT * 4
+        proj = SEQ * 2 * 8 * 2 * act_loc * (Qh - 1) / max(Qh, 1)
+        area = N / (32 * 64)
+        alpha = area / (area + 1.0)
+        return ring + proj, max(x_seq, 1), alpha
+
     return {
         "unet": unet, "sfno2d": sfno, "sfno2d_fused": sfno_fused,
+        "sfno2d_fused_2d": sfno_fused_2d,
         "graphcast": graphcast, "swin_ring": swin_ring,
+        "swin_ring_2d": swin_ring_2d,
     }
 
 
@@ -202,11 +254,11 @@ def efficiency(t_comp, comm_s, K, alpha):
 def compute_scale(fam, H, W):
     """t1(grid) / t1(32x64): per-part FLOP scaling, not plain area."""
     area = (H * W) / (32 * 64)
-    if fam in ("sfno2d", "sfno2d_fused"):
+    if fam.startswith("sfno2d"):
         s0, p0 = sfno_layer_flops(32, 64, C_ACT)
         s1, p1 = sfno_layer_flops(H, W, C_ACT)
         return (s1 + p1) / (s0 + p0)
-    if fam == "swin_ring":
+    if fam.startswith("swin_ring"):
         # global-window attention is O(N^2); assume ~50/50 attn/mlp split
         # at 32x64 (attention_training_notes.md)
         return 0.5 * area**2 + 0.5 * area
@@ -225,7 +277,9 @@ def main(argv=None):
     measured = {}
     for fam, key in (
         ("unet", "unet"), ("sfno2d", "sfno2d"), ("sfno2d_fused", "sfno2d"),
+        ("sfno2d_fused_2d", "sfno2d"),
         ("graphcast", "graphcast"), ("swin_ring", "swin"),
+        ("swin_ring_2d", "swin"),
     ):
         e = ladder.get(f"{key}@8m@32x64")
         if e and "step_s" in e:
@@ -252,7 +306,7 @@ def main(argv=None):
                     if fam not in measured:
                         continue
                     # bf16 comm only differs for the transpose families
-                    sfnos = ("sfno2d", "sfno2d_fused")
+                    sfnos = ("sfno2d", "sfno2d_fused", "sfno2d_fused_2d")
                     if comm_name == "fp32" and fam not in sfnos:
                         continue
                     t1 = measured[fam] * compute_scale(fam, H, W) * scale_t
@@ -260,14 +314,26 @@ def main(argv=None):
                         # bf16 compute step (the benchmark default):
                         # measured bf16/fp32 step ratio at the 32m rung
                         t1 *= 0.85
+                    t1_sched = t1
+                    if fam.startswith("sfno2d_fused"):
+                        # the fused schedule pays a measured ~2.2x
+                        # single-chip dispatch overhead; efficiency is
+                        # relative to ITS OWN single-chip time, so the
+                        # speedup-vs-per-conv column below is the
+                        # time-to-solution statement (ADVICE r4)
+                        t1_sched = t1 * FUSED_SINGLE_CHIP_OVERHEAD
                     rows = {}
+                    speedup = {}
                     for P in (1, 2, 4, 8, 16, 32, 64):
-                        t_comp = t1 / P
+                        t_comp = t1_sched / P
                         comm, K, alpha = model(P)
                         comm_s = comm / ici if P > 1 else 0.0
-                        rows[P] = round(
-                            efficiency(t_comp, comm_s, K, alpha), 3
-                        )
+                        eff = efficiency(t_comp, comm_s, K, alpha)
+                        rows[P] = round(eff, 3)
+                        if fam.startswith("sfno2d_fused"):
+                            # wall time at P vs the BEST single-chip
+                            # schedule (per-conv, no dispatch overhead)
+                            speedup[P] = round(t1 / (t_comp / eff), 2)
                     key = f"{chip}:{grid_name}:{fam}"
                     if fam in sfnos:
                         key += f":{comm_name}comm"
@@ -276,16 +342,39 @@ def main(argv=None):
                     elif fam == "sfno2d_fused":
                         sched = ("fused block-stack pipeline K=8, "
                                  f"{comm_name} payloads (dist_schedule=fused)")
+                    elif fam == "sfno2d_fused_2d":
+                        sched = ("2D latitude x channel fused pipeline "
+                                 f"(x_sp<=8, rest channel; {comm_name} "
+                                 "payloads; dist_sfno_blocks_2d)")
                     elif fam == "swin_ring":
                         sched = ("P-stage ring pipeline (rotations hidden "
                                  "behind per-step attention)")
+                    elif fam == "swin_ring_2d":
+                        sched = ("2D sequence x head ring (x_seq<=8, rest "
+                                 "heads; head-TP projections)")
                     else:
                         sched = "direct"
-                    results[key] = {
-                        "single_chip_step_s": round(t1, 4),
+                    entry = {
+                        "single_chip_step_s": round(t1_sched, 4),
                         "schedule": sched,
                         "efficiency_by_chips": rows,
                     }
+                    if fam.startswith("sfno2d_fused"):
+                        entry["per_conv_single_chip_step_s"] = round(t1, 4)
+                        entry["speedup_vs_best_single_chip"] = speedup
+                        entry["fused_overhead_measured"] = round(
+                            FUSED_SINGLE_CHIP_OVERHEAD, 3)
+                    if fam.startswith("sfno2d") or fam.startswith("swin_ring"):
+                        entry["overlap_assumption"] = (
+                            "assumes the latency-hiding scheduler uses the "
+                            "audited overlap windows — structural audit in "
+                            "collective_microbench.json:schedule_audit "
+                            "(every collective has a nonzero independent-"
+                            "compute window on the compiled 8-device HLO); "
+                            "true async execution unvalidated on multi-chip "
+                            "hardware"
+                        )
+                    results[key] = entry
 
     # --- hybrid DP x SP training-workload rows (regime 2 above) ---
     # measured batch-32 train steps (results/benchmark_training.json)

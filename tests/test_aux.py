@@ -225,3 +225,64 @@ class TestProfileCLI:
         info = json.load(open(os.path.join(out, "profile.json")))
         assert info["steps"] == 2 and info["median_s"] > 0
         assert info["flops_per_step"] > 0
+
+
+class TestScheduleAudit:
+    def test_audit_entry_independence(self):
+        """The HLO dependency auditor (scripts/schedule_audit.py) counts
+        dot-class compute that is neither ancestor nor descendant of each
+        collective — the schedulable overlap window."""
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "scripts"))
+        import importlib
+
+        sa = importlib.import_module("schedule_audit")
+        hlo = """
+HloModule m
+
+%helper (a: f32[4]) -> f32[4] {
+  %a = f32[4] parameter(0)
+  ROOT %d = f32[4] dot(%a, %a)
+}
+
+ENTRY %main (p0: f32[4], p1: f32[4]) {
+  %p0 = f32[4] parameter(0)
+  %p1 = f32[4] parameter(1)
+  %cp = f32[4] collective-permute(%p0), channel_id=1
+  %indep = f32[4] dot(%p1, %p1)
+  %dep = f32[4] dot(%cp, %cp)
+  %fus = f32[4] fusion(%p1), kind=kLoop, calls=%helper
+  ROOT %sum = f32[4] add(%dep, %fus)
+}
+"""
+        res = sa.audit_entry(hlo)
+        assert res["n_collectives"] == 1
+        row = res["collectives"][0]
+        # %indep and %fus are schedulable inside the permute window;
+        # %dep is a descendant
+        assert row["independent_compute_ops"] == 2
+        assert row["descendant_compute_ops"] == 1
+        assert res["n_collectives_with_zero_overlap_window"] == 0
+
+    def test_serial_chain_detected(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(__file__), "..", "scripts"))
+        import importlib
+
+        sa = importlib.import_module("schedule_audit")
+        hlo = """
+HloModule m
+
+ENTRY %main (p0: f32[4]) {
+  %p0 = f32[4] parameter(0)
+  %d0 = f32[4] dot(%p0, %p0)
+  %cp = f32[4] collective-permute(%d0), channel_id=1
+  ROOT %d1 = f32[4] dot(%cp, %cp)
+}
+"""
+        res = sa.audit_entry(hlo)
+        assert res["n_collectives_with_zero_overlap_window"] == 1

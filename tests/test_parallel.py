@@ -577,6 +577,53 @@ class TestDistributedSpectralLayers:
         scale = np.abs(o32).max()
         np.testing.assert_allclose(obf / scale, o32 / scale, atol=3e-2)
 
+    def _mesh_xc(self, x=4, c=2):
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices()[: x * c]).reshape(x, c)
+        return Mesh(devs, ("x", "c"))
+
+    @pytest.mark.parametrize("K", [1, 3])
+    def test_fused_2d_matches_per_layer_math(self, K):
+        """The 2D (latitude x channel) fused schedule
+        (`dist_sfno_blocks_2d`, the >8-chip strong-scaling path) is the
+        same math as the single-device composition."""
+        from dlwpbench_tpu.parallel.spectral_dist import (
+            make_dist_sfno_blocks_2d,
+        )
+
+        _, t, x, layers = self._fused_setup()
+        mesh = self._mesh_xc()
+        ref = np.asarray(self._fused_ref(x, layers, t))
+        fn = make_dist_sfno_blocks_2d(mesh, t, pipeline_chunks=K)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "x", None, "c")))
+        out = np.asarray(jax.jit(fn)(xs, layers))
+        np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-4)
+
+    def test_fused_2d_gradients(self):
+        """Input + parameter grads of the 2D schedule match the
+        single-device composition (differentiable through psum_scatter
+        channel reductions and the chunked transposes)."""
+        from dlwpbench_tpu.parallel.spectral_dist import (
+            make_dist_sfno_blocks_2d,
+        )
+
+        _, t, x, layers = self._fused_setup(num_layers=1)
+        mesh = self._mesh_xc()
+        fn = make_dist_sfno_blocks_2d(mesh, t, pipeline_chunks=3)
+        xs = jax.device_put(x, NamedSharding(mesh, P(None, "x", None, "c")))
+
+        g_ref = jax.grad(
+            lambda a, ls: jnp.sum(self._fused_ref(a, ls, t) ** 2), (0, 1)
+        )(x, layers)
+        g = jax.jit(
+            jax.grad(lambda a, ls: jnp.sum(fn(a, ls) ** 2), (0, 1))
+        )(xs, layers)
+        for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g)):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), rtol=2e-3, atol=2e-3
+            )
+
     def test_sfno_model_fused_schedule_runs_and_chunk_invariant(self):
         """SFNO2DModule(dist_schedule="fused"): forward runs on the mesh,
         outputs are chunk-count invariant, grads are finite."""
@@ -789,6 +836,27 @@ class TestRingAttention:
             np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4
         )
 
+    def test_2d_seq_x_head_matches_single_device(self):
+        """The 2D (sequence x head) decomposition — ring over 'x' within
+        each head group, heads over 'h' — equals single-device attention
+        (the >8-chip strong-scaling schedule, no new collectives)."""
+        from jax.sharding import Mesh
+
+        from dlwpbench_tpu.ops.pallas_attention import reference_attention
+        from dlwpbench_tpu.parallel.ring_attention import (
+            ring_attention_sharded,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("x", "h"))
+        q, k, v, bias = self._operands(H=4)
+        out = ring_attention_sharded(
+            q, k, v, bias, mesh, axis="x", head_axis="h"
+        )
+        want = reference_attention(q, k, v, bias, q.shape[-1] ** -0.5)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), rtol=2e-4, atol=2e-4
+        )
+
     def test_gradients_match(self):
         """d(q,k,v,bias) through the ring (chunk custom-VJP + lse cotangent
         + slice adjoint + ppermute inverse) == single-device gradients."""
@@ -937,3 +1005,62 @@ class TestMultihostLaunch:
         ])
         assert os.path.exists(
             os.path.join(run_dir, "checkpoints", "unet_last.ckpt"))
+
+
+class TestMultiProcess:
+    """REAL multi-process distributed: 2 OS processes, CPU backend, one
+    coordinator — the `jax.distributed.initialize` handshake + a
+    cross-process psum + DP train-step loss parity (the path SURVEY §4
+    flags as degenerate in the reference: its DistributedManager tests
+    only ever ran at world_size 1)."""
+
+    def test_two_process_dp_train_step(self, tmp_path):
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        # free port for the coordinator
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+
+        child = os.path.join(os.path.dirname(__file__),
+                             "_distributed_child.py")
+        env_base = dict(os.environ)
+        # never let the children touch the real TPU tunnel (axon): drop the
+        # pool registration trigger and force the CPU backend with 4
+        # virtual devices per process (8 global over 2 processes)
+        env_base.pop("PALLAS_AXON_POOL_IPS", None)
+        env_base["JAX_PLATFORMS"] = "cpu"
+        env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+        env_base["MASTER_ADDR"] = "127.0.0.1"
+        env_base["MASTER_PORT"] = str(port)
+        env_base["WORLD_SIZE"] = "2"
+        env_base["DIST_RUN_DIR"] = str(tmp_path / "mh2")
+
+        procs = []
+        for rank in range(2):
+            env = dict(env_base, RANK=str(rank))
+            procs.append(subprocess.Popen(
+                [sys.executable, child], env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            ))
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for rank, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"rank {rank} failed:\n{out[-4000:]}"
+        losses = []
+        for out in outs:
+            line = [l for l in out.splitlines() if l.startswith("DIST_OK")]
+            assert line, out[-2000:]
+            losses.append(float(line[0].split("loss=")[1]))
+        # both processes agree on the reference loss
+        assert losses[0] == losses[1]
