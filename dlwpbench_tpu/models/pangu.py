@@ -160,8 +160,31 @@ class EarthAttention3D(nn.Module):
         bias: jax.Array,
         mask: Optional[jax.Array] = None,
     ):
-        B_, nW, N, C = x.shape
         nh = self.num_heads
+
+        if x.ndim == 5:
+            # 5D path (PanguBlock skipped window_partition_3d): the qkv
+            # Dense runs on the raw padded/rolled token field and the 5D
+            # kernel reads each window as a contiguous HBM block — the
+            # partition/reverse transposes never exist
+            # (ops/pallas_attention.py::window_attention_qkv5d).  Param
+            # names/shapes are identical to the partitioned paths (Dense
+            # acts on the feature dim only), so checkpoints interchange.
+            from dlwpbench_tpu.ops.pallas_attention import (
+                window_attention_qkv5d,
+            )
+
+            C = x.shape[-1]
+            qkv = nn.Dense(
+                3 * C, use_bias=self.qkv_bias,
+                kernel_init=trunc_normal_init(),
+            )(x)
+            out = window_attention_qkv5d(
+                qkv, bias, mask, nh, tuple(self.window_size)
+            )
+            return nn.Dense(C, kernel_init=trunc_normal_init())(out)
+
+        B_, nW, N, C = x.shape
         hd = C // nh
         scale = hd**-0.5
 
@@ -306,15 +329,34 @@ class EarthSpecificBlock(nn.Module):
         else:
             mask = None
 
-        wins = window_partition_3d(x, win)
-        wins = EarthAttention3D(
+        # 5D fast path: when the packed kernel would be selected anyway,
+        # keep the tokens in their padded 5D field and let the kernel's
+        # BlockSpec index maps do the windowing — window_partition_3d /
+        # window_reverse_3d (an 8-axis transpose pair per block inside the
+        # rollout scan) never run.
+        N = win[0] * win[1] * win[2]
+        nW_all = (pad_res[0] // win[0]) * (pad_res[1] // win[1])
+        B_win = B * (pad_res[2] // win[2])
+        hd = C // self.num_heads
+        on_tpu = jax.default_backend() in ("tpu", "axon")
+        use5d = self.use_flash == "packed5d" or (
+            self.use_flash in (None, "packed") and on_tpu and N < 1024
+            and hd % 8 == 0 and B_win * nW_all >= 64
+        )
+        attn = EarthAttention3D(
             self.dim, pad_res, win, self.num_heads, use_flash=self.use_flash,
             spmd_mesh=self.spmd_mesh, dist_axis=self.dist_axis,
-        )(wins, bias, mask)
-        wins = wins.reshape(wins.shape[0], wins.shape[1], *win, C)
-        x = window_reverse_3d(
-            wins.reshape(wins.shape[0], wins.shape[1], -1, C), win, *pad_res
         )
+        if use5d:
+            x = attn(x, bias, mask)
+        else:
+            wins = window_partition_3d(x, win)
+            wins = attn(wins, bias, mask)
+            wins = wins.reshape(wins.shape[0], wins.shape[1], *win, C)
+            x = window_reverse_3d(
+                wins.reshape(wins.shape[0], wins.shape[1], -1, C),
+                win, *pad_res,
+            )
 
         if self.shift:
             x = jnp.roll(x, (spl, slat, slon), axis=(1, 2, 3))

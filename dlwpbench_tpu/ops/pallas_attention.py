@@ -1184,42 +1184,102 @@ def flash_window_attention(
 # for Swin HPX / win8 (`models/swin.py`).
 
 
+def _tm_heads_fwd(xt_ref, ot_ref, bias_ref, m, lse_write, *, scale, nh, hd):
+    """All heads of one member from head-major scratch: the proven [D, N]
+    MXU forms (contracting the 16/32-deep head dim as sublanes — a
+    lane-dim contraction per head would force a Mosaic relayout per
+    (member, head) slice, measured 2.4x slower).  Shared by the token-major
+    and the 5D (partition-free) kernels so the two paths are the same
+    math by construction."""
+    C = nh * hd
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = xt_ref[sl, :] * scale              # [hd, Nq]
+        k = xt_ref[C + h * hd:C + (h + 1) * hd, :]
+        v = xt_ref[2 * C + h * hd:2 * C + (h + 1) * hd, :]
+        s = (
+            jax.lax.dot_general(               # [Nk, Nq]
+                k, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias_ref[0, h]
+            + m
+        )
+        mx = jnp.max(s, axis=0, keepdims=True)  # [1, Nq]
+        p = jnp.exp(s - mx)
+        l = jnp.sum(p, axis=0, keepdims=True)
+        o = jax.lax.dot_general(               # [hd, Nq]
+            v, p.astype(v.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,  # f32 accumulate
+        )
+        ot_ref[sl, :] = o / l
+        lse_write(h, mx + jnp.log(l))
+
+
 def _tm_attn_kernel(qkv_ref, bias_ref, mask_ref, o_ref, lse_ref,
                     xt_ref, ot_ref, *, scale, nh, hd, G):
     """Per (window, lon, batch-block) program: ONE bulk VMEM transpose of
-    each member's [N, 3C] block into head-major scratch, then the proven
-    [D, N] MXU forms per head (contracting the 16/32-deep head dim as
-    sublanes — a lane-dim contraction per head would force a Mosaic
-    relayout per (member, head) slice, measured 2.4x slower).  `bias` and
-    `mask` arrive KEY-MAJOR [Nk, Nq] (the shift mask is symmetric, see
-    `window_attention_qkv`)."""
-    C = nh * hd
+    each member's [N, 3C] block into head-major scratch, then the head
+    loop (`_tm_heads_fwd`).  `bias` and `mask` arrive KEY-MAJOR [Nk, Nq]
+    (the shift mask is symmetric, see `window_attention_qkv`)."""
     m = mask_ref[0, 0]  # [Nk, Nq]
     for g in range(G):
         xt_ref[:] = qkv_ref[g, 0, 0].T  # [3C, N]
-        for h in range(nh):
-            sl = slice(h * hd, (h + 1) * hd)
-            q = xt_ref[sl, :] * scale              # [hd, Nq]
-            k = xt_ref[C + h * hd:C + (h + 1) * hd, :]
-            v = xt_ref[2 * C + h * hd:2 * C + (h + 1) * hd, :]
-            s = (
-                jax.lax.dot_general(               # [Nk, Nq]
-                    k, q, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                + bias_ref[0, h]
-                + m
-            )
-            mx = jnp.max(s, axis=0, keepdims=True)  # [1, Nq]
-            p = jnp.exp(s - mx)
-            l = jnp.sum(p, axis=0, keepdims=True)
-            o = jax.lax.dot_general(               # [hd, Nq]
-                v, p.astype(v.dtype), (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,  # f32 accumulate
-            )
-            ot_ref[sl, :] = o / l
-            lse_ref[g, 0, 0, h:h + 1, :] = mx + jnp.log(l)
+
+        def wl(h, row, g=g):
+            lse_ref[g, 0, 0, h:h + 1, :] = row
+
+        _tm_heads_fwd(xt_ref, ot_ref, bias_ref, m, wl,
+                      scale=scale, nh=nh, hd=hd)
         o_ref[g, 0, 0] = ot_ref[:].T.astype(o_ref.dtype)
+
+
+def _tm_heads_bwd(xt_ref, got_ref, dot_ref, dxt_ref, bias_ref, m, lse_row,
+                  dbias_ref, *, scale, nh, hd):
+    """Backward head loop from head-major scratch (shared by the
+    token-major and the 5D kernels): recomputes scores, emits fused
+    dq/dk/dv into `dxt_ref` and accumulates dBias."""
+    C = nh * hd
+    for h in range(nh):
+        sl = slice(h * hd, (h + 1) * hd)
+        q = xt_ref[sl, :] * scale                    # [hd, Nq]
+        k = xt_ref[C + h * hd:C + (h + 1) * hd, :]
+        v = xt_ref[2 * C + h * hd:2 * C + (h + 1) * hd, :]
+        ot = got_ref[sl, :]
+        dot = dot_ref[sl, :]
+        s = (
+            jax.lax.dot_general(                     # [Nk, Nq]
+                k, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            + bias_ref[0, h]
+            + m
+        )
+        p = jnp.exp(s - lse_row(h))                  # [Nk, Nq]
+        drow = jnp.sum(dot * ot, axis=0, keepdims=True)  # [1, Nq]
+        dp = jax.lax.dot_general(                    # [Nk, Nq]
+            v, dot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - drow)
+        dbias_ref[0, h] = dbias_ref[0, h] + ds
+        dxt_ref[sl, :] = scale * jax.lax.dot_general(
+            k, ds, (((1,), (0,)), ((), ())),         # dq [hd, Nq]
+            preferred_element_type=jnp.float32,
+        )
+        # `q` already carries `scale`, so no extra factor here
+        dxt_ref[C + h * hd:C + (h + 1) * hd, :] = (
+            jax.lax.dot_general(                     # dk [hd, Nk]
+                q, ds, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
+        dxt_ref[2 * C + h * hd:2 * C + (h + 1) * hd, :] = (
+            jax.lax.dot_general(                     # dv [hd, Nk]
+                dot, p, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        )
 
 
 def _tm_bwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, do_ref, lse_ref,
@@ -1241,46 +1301,12 @@ def _tm_bwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, do_ref, lse_ref,
         xt_ref[:] = qkv_ref[g, 0, 0].T.astype(jnp.float32)  # [3C, N]
         got_ref[:] = o_ref[g, 0, 0].T.astype(jnp.float32)   # [C, N]
         dot_ref[:] = do_ref[g, 0, 0].T.astype(jnp.float32)  # [C, N]
-        for h in range(nh):
-            sl = slice(h * hd, (h + 1) * hd)
-            q = xt_ref[sl, :] * scale                    # [hd, Nq]
-            k = xt_ref[C + h * hd:C + (h + 1) * hd, :]
-            v = xt_ref[2 * C + h * hd:2 * C + (h + 1) * hd, :]
-            ot = got_ref[sl, :]
-            dot = dot_ref[sl, :]
-            s = (
-                jax.lax.dot_general(                     # [Nk, Nq]
-                    k, q, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                + bias_ref[0, h]
-                + m
-            )
-            p = jnp.exp(s - lse_ref[g, 0, 0, h:h + 1, :])  # [Nk, Nq]
-            drow = jnp.sum(dot * ot, axis=0, keepdims=True)  # [1, Nq]
-            dp = jax.lax.dot_general(                    # [Nk, Nq]
-                v, dot, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            ds = p * (dp - drow)
-            dbias_ref[0, h] = dbias_ref[0, h] + ds
-            dxt_ref[sl, :] = scale * jax.lax.dot_general(
-                k, ds, (((1,), (0,)), ((), ())),         # dq [hd, Nq]
-                preferred_element_type=jnp.float32,
-            )
-            # `q` already carries `scale`, so no extra factor here
-            dxt_ref[C + h * hd:C + (h + 1) * hd, :] = (
-                jax.lax.dot_general(                     # dk [hd, Nk]
-                    q, ds, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
-            dxt_ref[2 * C + h * hd:2 * C + (h + 1) * hd, :] = (
-                jax.lax.dot_general(                     # dv [hd, Nk]
-                    dot, p, (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-            )
+
+        def lr(h, g=g):
+            return lse_ref[g, 0, 0, h:h + 1, :]
+
+        _tm_heads_bwd(xt_ref, got_ref, dot_ref, dxt_ref, bias_ref, m, lr,
+                      dbias_ref, scale=scale, nh=nh, hd=hd)
         dqkv_ref[g, 0, 0] = dxt_ref[:].T.astype(dqkv_ref.dtype)
 
 
@@ -1452,3 +1478,286 @@ def window_attention_qkv(
         N = qkv.shape[-2]
         mask = jnp.zeros((1, 1, N, N), qkv.dtype)
     return _tm_diff(qkv, bias, mask, num_heads, interpret)
+
+
+# ---------------------------------------------------------------------------
+# 5D window attention: partition/reverse folded into the grid index maps
+# ---------------------------------------------------------------------------
+#
+# `window_attention_qkv` removed the head-major relayouts, but the model
+# still runs `window_partition_3d` / `window_reverse_3d` around it — an
+# 8-axis transpose pair per block (plus its adjoints) that XLA schedules as
+# fusions/copies inside the rollout scan (~0.2-0.3 s of the 1.32 s Pangu
+# batch-32 step, results/attention_training_notes.md round 4).  A window
+# (ipl, ilat, ilon) is a CONTIGUOUS block of the padded 5D field, so the
+# partition is expressible as BlockSpec index maps: the qkv Dense runs on
+# the un-partitioned [B, Pl, Lat, Lon, 3C] tokens (per-token, layout-
+# independent) and each program reads its [G, wpl, wlat, wlon, 3C] window
+# block straight from HBM.  In VMEM the member is first row-packed into an
+# [N, 3C] scratch (sublane-slice stores, lane-dim untouched), then the
+# SAME bulk transpose + head loop as the token-major kernel runs — the two
+# paths share `_tm_heads_fwd`/`_tm_heads_bwd`, so they are the same math
+# by construction.  The output (and dqkv) is written back as 5D window
+# blocks: no partition, reverse, or relayout exists anywhere on the host.
+
+
+def _tm5_attn_kernel(qkv_ref, bias_ref, mask_ref, o_ref, lse_ref,
+                     xrow_ref, xt_ref, ot_ref, *, scale, nh, hd, G, win,
+                     LG, mL):
+    """`LG` lon-windows per program (Mosaic needs the second-minor block
+    dim divisible by 8 — lone wlon=12 is not, LG*wlon is)."""
+    wpl, wlat, wlon = win
+    m_all = mask_ref[...]  # [mLG, 1, Nk, Nq]
+    for g in range(G):
+        for lw in range(LG):
+            m = m_all[lw if mL > 1 else 0, 0]
+            for r in range(wpl * wlat):
+                xrow_ref[r * wlon:(r + 1) * wlon, :] = qkv_ref[
+                    g, r // wlat, r % wlat,
+                    lw * wlon:(lw + 1) * wlon, :
+                ]
+            xt_ref[:] = xrow_ref[:].T  # [3C, N]
+
+            def wl(h, row, g=g, lw=lw):
+                lse_ref[g, lw, 0, h:h + 1, :] = row
+
+            _tm_heads_fwd(xt_ref, ot_ref, bias_ref, m, wl,
+                          scale=scale, nh=nh, hd=hd)
+            orow = ot_ref[:].T.astype(o_ref.dtype)  # [N, C]
+            for r in range(wpl * wlat):
+                o_ref[
+                    g, r // wlat, r % wlat, lw * wlon:(lw + 1) * wlon, :
+                ] = orow[r * wlon:(r + 1) * wlon, :]
+
+
+def _tm5_bwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, do_ref, lse_ref,
+                    dqkv_ref, dbias_ref, xrow_ref, xt_ref, got_ref, dot_ref,
+                    dxt_ref, *, scale, nh, hd, G, win, LG, mL):
+    wpl, wlat, wlon = win
+    lon = pl.program_id(1)
+    jb = pl.program_id(2)
+    m_all = mask_ref[...]  # [mLG, 1, Nk, Nq]
+
+    @pl.when((lon == 0) & (jb == 0))
+    def _init():
+        dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
+
+    rows = wpl * wlat
+    for g in range(G):
+        for lw in range(LG):
+            m = m_all[lw if mL > 1 else 0, 0]
+            for r in range(rows):
+                xrow_ref[r * wlon:(r + 1) * wlon, :] = qkv_ref[
+                    g, r // wlat, r % wlat,
+                    lw * wlon:(lw + 1) * wlon, :
+                ].astype(jnp.float32)
+            xt_ref[:] = xrow_ref[:].T                           # [3C, N]
+            for r in range(rows):
+                got_ref[:, r * wlon:(r + 1) * wlon] = o_ref[
+                    g, r // wlat, r % wlat,
+                    lw * wlon:(lw + 1) * wlon, :
+                ].T.astype(jnp.float32)
+                dot_ref[:, r * wlon:(r + 1) * wlon] = do_ref[
+                    g, r // wlat, r % wlat,
+                    lw * wlon:(lw + 1) * wlon, :
+                ].T.astype(jnp.float32)
+
+            def lr(h, g=g, lw=lw):
+                return lse_ref[g, lw, 0, h:h + 1, :]
+
+            _tm_heads_bwd(xt_ref, got_ref, dot_ref, dxt_ref, bias_ref, m,
+                          lr, dbias_ref, scale=scale, nh=nh, hd=hd)
+            drow_full = dxt_ref[:].T.astype(dqkv_ref.dtype)     # [N, 3C]
+            for r in range(rows):
+                dqkv_ref[
+                    g, r // wlat, r % wlat, lw * wlon:(lw + 1) * wlon, :
+                ] = drow_full[r * wlon:(r + 1) * wlon, :]
+
+
+def _tm5_lon_group(nLon, wlon):
+    """Smallest k dividing nLon with k*wlon a multiple of 8 (Mosaic's
+    second-minor block constraint), falling back to full Lon (always
+    legal: block dim == array dim)."""
+    for k in range(1, nLon):
+        if nLon % k == 0 and (k * wlon) % 8 == 0:
+            return k
+    return nLon
+
+
+def _tm5_group(B, nh, N, C, LG, itemsize=4, cap=8, bwd=True):
+    """VMEM-plan G estimator for the 5D kernel — `_tm_group` with the
+    per-member block cost scaled by the LG lon-windows a program holds
+    (the [N, N] transients stay per-window) and by the BLOCK dtype (the
+    forward's qkv/out blocks ride the input dtype; chip-verified: fp32
+    LG=2 G=8 hits the 16 MB scoped-vmem wall at 16.26M, G=4 fits;
+    bf16 G=8 fits)."""
+    def pad(c):
+        return -(-c // 128) * 128
+
+    def est(cand):
+        # the 5D fwd's blocks ride the input dtype and are NOT halved vs
+        # the bwd (out+lse blocks replace dqkv); only the resident
+        # bias/transient share shrinks
+        per_g = cand * LG * N * (pad(3 * C) + pad(C)) * 4 * itemsize
+        fixed = nh * N * N * 32
+        if not bwd:
+            fixed //= 2
+        return per_g + fixed + 3e6
+
+    g = 1
+    for cand in range(2, cap + 1):
+        if B % cand == 0 and est(cand) < 17e6:
+            g = cand
+    return g
+
+
+def _tm5_specs(nLat, LG):
+    blk5 = lambda w, lon, jb: (jb, w // nLat, w % nLat, lon, 0)
+    blk_lse = lambda w, lon, jb: (jb, lon, w, 0, 0)
+    return blk5, blk_lse
+
+
+@functools.partial(jax.jit, static_argnames=("nh", "win", "interpret"))
+def _tm5_impl(qkv5, bias, mask, nh, win, interpret=False):
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    B, Pl, Lat, Lon, C3 = qkv5.shape
+    wpl, wlat, wlon = win
+    nPl, nLat, nLon = Pl // wpl, Lat // wlat, Lon // wlon
+    nW, N = nPl * nLat, wpl * wlat * wlon
+    C = C3 // 3
+    hd = C // nh
+    mL, mW = mask.shape[0], mask.shape[1]
+    LG = _tm5_lon_group(nLon, wlon)
+    G = _tm5_group(B, nh, N, C, LG, itemsize=qkv5.dtype.itemsize,
+                   bwd=False)
+    scale = hd**-0.5
+    blk5, blk_lse = _tm5_specs(nLat, LG)
+    kernel = functools.partial(_tm5_attn_kernel, scale=scale, nh=nh, hd=hd,
+                               G=G, win=win, LG=LG, mL=mL)
+    out, lse = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Pl, Lat, Lon, C), qkv5.dtype),
+            jax.ShapeDtypeStruct((B, nLon, nW, nh, N), jnp.float32),
+        ),
+        grid=(nW, nLon // LG, B // G),
+        in_specs=[
+            pl.BlockSpec((G, wpl, wlat, LG * wlon, C3), blk5),
+            pl.BlockSpec((1, nh, N, N), lambda w, lon, jb: (w, 0, 0, 0)),
+            pl.BlockSpec(
+                (LG if mL > 1 else 1, 1, N, N),
+                lambda w, lon, jb: (lon if mL > 1 else 0,
+                                    w if mW > 1 else 0, 0, 0),
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((G, wpl, wlat, LG * wlon, C), blk5),
+            pl.BlockSpec((G, LG, 1, nh, N), blk_lse),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, C3), qkv5.dtype),    # row-packed member
+            pltpu.VMEM((C3, N), qkv5.dtype),    # transposed qkv member
+            pltpu.VMEM((C, N), jnp.float32),    # head-major output
+        ],
+        interpret=interpret,
+    )(qkv5, bias, mask)
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _tm5_diff(qkv5, bias, mask, nh, win, interpret):
+    out, _ = _tm5_impl(qkv5, bias, mask, nh, win, interpret=interpret)
+    return out
+
+
+def _tm5_fwd(qkv5, bias, mask, nh, win, interpret):
+    out, lse = _tm5_impl(qkv5, bias, mask, nh, win, interpret=interpret)
+    return out, (qkv5, bias, mask, out, lse)
+
+
+def _tm5_bwd(nh, win, interpret, res, g):
+    qkv5, bias, mask, out, lse = res
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
+        interpret = True
+    B, Pl, Lat, Lon, C3 = qkv5.shape
+    wpl, wlat, wlon = win
+    nPl, nLat, nLon = Pl // wpl, Lat // wlat, Lon // wlon
+    nW, N = nPl * nLat, wpl * wlat * wlon
+    C = C3 // 3
+    hd = C // nh
+    mL, mW = mask.shape[0], mask.shape[1]
+    LG = _tm5_lon_group(nLon, wlon)
+    G = _tm5_group(B, nh, N, C, LG, itemsize=qkv5.dtype.itemsize)
+    scale = hd**-0.5
+    blk5, blk_lse = _tm5_specs(nLat, LG)
+    kernel = functools.partial(_tm5_bwd_kernel, scale=scale, nh=nh, hd=hd,
+                               G=G, win=win, LG=LG, mL=mL)
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Pl, Lat, Lon, C3), qkv5.dtype),
+            jax.ShapeDtypeStruct((nW, nh, N, N), jnp.float32),
+        ),
+        # (lon, jb) innermost: consecutive dbias revisits per window type
+        grid=(nW, nLon // LG, B // G),
+        in_specs=[
+            pl.BlockSpec((G, wpl, wlat, LG * wlon, C3), blk5),
+            pl.BlockSpec((1, nh, N, N),
+                         lambda w, lon, jb: (w, 0, 0, 0)),
+            pl.BlockSpec(
+                (LG if mL > 1 else 1, 1, N, N),
+                lambda w, lon, jb: (lon if mL > 1 else 0,
+                                    w if mW > 1 else 0, 0, 0),
+            ),
+            pl.BlockSpec((G, wpl, wlat, LG * wlon, C), blk5),   # out
+            pl.BlockSpec((G, wpl, wlat, LG * wlon, C), blk5),   # dO
+            pl.BlockSpec((G, LG, 1, nh, N), blk_lse),           # lse
+        ],
+        out_specs=(
+            pl.BlockSpec((G, wpl, wlat, LG * wlon, C3), blk5),
+            pl.BlockSpec((1, nh, N, N),
+                         lambda w, lon, jb: (w, 0, 0, 0)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N, C3), jnp.float32),   # row-packed member
+            pltpu.VMEM((C3, N), jnp.float32),   # transposed qkv member
+            pltpu.VMEM((C, N), jnp.float32),    # transposed out
+            pltpu.VMEM((C, N), jnp.float32),    # transposed dO
+            pltpu.VMEM((C3, N), jnp.float32),   # head-major dqkv
+        ],
+        interpret=interpret,
+    )(qkv5, bias, mask, out, g, lse)
+    return dqkv, dbias.astype(bias.dtype), jnp.zeros_like(mask)
+
+
+_tm5_diff.defvjp(_tm5_fwd, _tm5_bwd)
+
+
+def window_attention_qkv5d(
+    qkv5: jax.Array,
+    bias: jax.Array,
+    mask: jax.Array | None,
+    num_heads: int,
+    window_size: tuple[int, int, int],
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused small-window attention DIRECTLY on the padded 5D field —
+    `window_partition_3d`/`window_reverse_3d` become BlockSpec index maps.
+
+    qkv5: [B, Pl, Lat, Lon, 3C] — the qkv Dense output on the padded
+          (and, for shifted blocks, rolled) token field; every dim must be
+          divisible by its window size.
+    bias: [nW, nh, N, N] KEY-major per-window-type bias (nW = nPl*nLat).
+    mask: [nLon, nW|1, N, N] additive shift mask (symmetric), or None.
+
+    Returns [B, Pl, Lat, Lon, C].  Differentiable; dqkv comes back in the
+    same 5D layout (feeding the Dense VJP directly), dBias batch-summed
+    in-kernel, mask constant.
+    """
+    if mask is None:
+        wpl, wlat, wlon = window_size
+        N = wpl * wlat * wlon
+        mask = jnp.zeros((1, 1, N, N), qkv5.dtype)
+    return _tm5_diff(qkv5, bias, mask, num_heads, tuple(window_size),
+                     interpret)

@@ -23,11 +23,12 @@ import numpy as np
 def model_zoo(B, H, W, Cc=4, Cp=1, Cq=8):
     """Benchmark configs ~ the reference's small/medium rungs."""
     from dlwpbench_tpu.models.convlstm import ConvLSTM
+    from dlwpbench_tpu.models.distana import DISTANA
     from dlwpbench_tpu.models.fno import FNO2DModule, TFNO2DModule
     from dlwpbench_tpu.models.fourcastnet import FourCastNet
     from dlwpbench_tpu.models.graphcast import GraphCastNet
     from dlwpbench_tpu.models.mgn import MeshGraphNet
-    from dlwpbench_tpu.models.modern_unet import ModernUNet
+    from dlwpbench_tpu.models.modern_unet import DiffModernUNet, ModernUNet
     from dlwpbench_tpu.models.pangu import PanguWeather
     from dlwpbench_tpu.models.sfno import SFNO2DModule
     from dlwpbench_tpu.models.swin import SwinTransformer
@@ -62,6 +63,19 @@ def model_zoo(B, H, W, Cc=4, Cp=1, Cq=8):
         "graphcast": GraphCastNet(
             input_height=H, input_width=W, mesh_level=3, processor_layers=4,
             hidden_dim=128, **kw,
+        ),
+        # VERDICT r4 #7: the two families previously absent from every
+        # performance surface.  DISTANA at its reference config scale;
+        # the diffusion model at the reference's own
+        # `model/diffusion_modernunet.yaml` scale — its rollout runs the
+        # FULL DDPM refinement loop (num_refinement_step+1 forwards per
+        # step, reference `modern_unet.py:175-208`), the reference's most
+        # expensive eval path.
+        "distana": DISTANA(hidden_size=64, layers=4, **kw),
+        "diffusion": DiffModernUNet(
+            hidden_channels=(64, 128, 256, 1024), context_size=2,
+            num_refinement_step=5, norm=True, use_scale_shift_norm=True,
+            **kw,
         ),
     }
 

@@ -23,6 +23,97 @@ import numpy as np
 WINDOWS_PER_EPOCH = 3505  # 1979-2014, 6-hourly, non-overlapping seq-15 windows
 
 
+def measure_diffusion(model, shapes_np, dev, cpu, compute_dtype,
+                      repeats=4, iters=3):
+    """Diffusion TRAIN step at its real protocol (VERDICT r4 #7): one
+    v-prediction `single_forward` + AdamW per step (Trainer's
+    `_diffusion_loss`, reference `train.py:226-258`) — NOT the refinement
+    rollout, which is inference-only.  Mirrors `benchmark_ladder.measure`'s
+    chained-scan timing so rows are comparable."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from dlwpbench_tpu.ops import ddpm as ddpm_ops
+
+    cdt = jnp.dtype(compute_dtype) if compute_dtype else None
+    const, pres, prog, _ = (jnp.asarray(a) for a in shapes_np)
+    ctx = model.context_size
+    prog_w = prog[:, : ctx + 1]          # diffusion window: ctx + 1
+    pres_w = pres[:, : ctx] if pres.shape[2] else None
+    target = prog_w[:, ctx:]
+    sched = ddpm_ops.make_refiner_schedule(1000, 4e-4)
+
+    with jax.default_device(cpu if cpu is not None else dev):
+        y0 = jnp.zeros_like(target)
+        k0 = jnp.zeros((prog.shape[0],), jnp.int32)
+        params = jax.jit(
+            lambda r: model.init(r, const, pres_w, prog_w[:, :ctx], y0, k0,
+                                 method="single_forward")
+        )(jax.random.PRNGKey(0))
+    tx = optax.adamw(1e-3, weight_decay=1e-5)
+    opt_state = tx.init(params)
+
+    def chained(p, o, c, pr, pg, t, rng):
+        def body(carry, i):
+            p, o, rng = carry
+            rng, kk, kn = jax.random.split(rng, 3)
+            k = jax.random.randint(kk, (), 0, sched.num_timesteps - 1)
+            res = t - pg[:, ctx - 1: ctx]
+            noise = jax.random.normal(kn, res.shape, res.dtype)
+            y = ddpm_ops.add_noise(sched, res, noise, k)
+            v_t = ddpm_ops.v_prediction_target(sched, res, noise, k)
+
+            def loss_fn(pp):
+                cc, prr, pgg, yy = c, pr, pg, y
+                if cdt is not None:
+                    pp = jax.tree.map(lambda x: x.astype(cdt), pp)
+                    cc = None if cc is None else cc.astype(cdt)
+                    prr = None if prr is None else prr.astype(cdt)
+                    pgg, yy = pgg.astype(cdt), yy.astype(cdt)
+                out = model.apply(
+                    pp, cc, prr, pgg[:, :ctx], yy,
+                    jnp.full((pg.shape[0],), k), method="single_forward",
+                )
+                return ((out[:, None].astype(jnp.float32) - v_t) ** 2).mean()
+
+            loss, grads = jax.value_and_grad(loss_fn)(p)
+            updates, o2 = tx.update(grads, o, p)
+            return (optax.apply_updates(p, updates), o2, rng), loss
+
+        (p, o, _), losses = jax.lax.scan(
+            body, (p, o, rng), jnp.arange(repeats))
+        return losses.sum()
+
+    args = (params, opt_state, const, pres_w, prog_w, target,
+            jax.random.PRNGKey(1))
+    args = jax.device_put(args, dev)
+    jitted = jax.jit(chained)
+    t0 = time.perf_counter()
+    compiled = jitted.lower(*args).compile()
+    compile_s = time.perf_counter() - t0
+    mem = {}
+    try:
+        ma = compiled.memory_analysis()
+        if ma is not None:
+            mem["xla_plan_mb"] = round(
+                (getattr(ma, "argument_size_in_bytes", 0)
+                 + getattr(ma, "temp_size_in_bytes", 0)
+                 + getattr(ma, "output_size_in_bytes", 0)) / 1e6, 1)
+    except Exception:
+        pass
+    float(compiled(*args))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(compiled(*args))
+        times.append((time.perf_counter() - t0) / repeats)
+    n_params = sum(int(x.size) for x in jax.tree.leaves(params))
+    return float(np.median(times)), compile_s, mem, n_params
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="unet,modernunet,fno2d,fourcastnet,sfno2d")
@@ -76,17 +167,24 @@ def main(argv=None):
             # amortized, plus XLA plan memory and cost-model FLOPs
             trips = T if name.startswith(("convlstm", "distana")) \
                 else T - model.context_size
-            n_params = sum(
-                int(np.prod(a.shape))
-                for a in jax.tree.leaves(jax.eval_shape(
-                    model.init, jax.random.PRNGKey(0),
-                    *(jax.ShapeDtypeStruct(s.shape, s.dtype)
-                      for s in shapes_np[:3])))
-            )
-            dt, compile_s, mem = measure(
-                model, shapes_np, dev, cpu, rollout_trips=trips,
-                compute_dtype=args.dtype,
-            )
+            if name == "diffusion":
+                # real protocol: one v-pred single_forward per step
+                # (no rollout), so no trip multiply
+                dt, compile_s, mem, n_params = measure_diffusion(
+                    model, shapes_np, dev, cpu, compute_dtype=args.dtype,
+                )
+            else:
+                n_params = sum(
+                    int(np.prod(a.shape))
+                    for a in jax.tree.leaves(jax.eval_shape(
+                        model.init, jax.random.PRNGKey(0),
+                        *(jax.ShapeDtypeStruct(s.shape, s.dtype)
+                          for s in shapes_np[:3])))
+                )
+                dt, compile_s, mem = measure(
+                    model, shapes_np, dev, cpu, rollout_trips=trips,
+                    compute_dtype=args.dtype,
+                )
             epoch_s = dt * (WINDOWS_PER_EPOCH / B)
             results[name] = {
                 "params": n_params,
@@ -95,6 +193,13 @@ def main(argv=None):
                 "compile_s": round(compile_s, 1),
                 **mem,
             }
+            if name == "diffusion":
+                results[name]["note"] = (
+                    "v-prediction single_forward train step (reference "
+                    "train.py:226-258 protocol); inference pays the "
+                    "DDPM refinement loop instead — see "
+                    "benchmark_matrix.json"
+                )
             peak = mem.get("peak_mb") or mem.get("xla_plan_mb")
             print(
                 f"{name:12s} {n_params/1e6:6.2f}M  step {dt*1e3:7.1f} ms "

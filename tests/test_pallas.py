@@ -406,6 +406,12 @@ class TestPackedWindowAttention:
         np.testing.assert_allclose(
             np.asarray(out_p), np.asarray(out_e), rtol=2e-4, atol=2e-4
         )
+        # 5D partition-free path: same params, same output
+        m_5 = PanguWeather(use_flash_attention="packed5d", **kw)
+        out_5 = m_5.apply(params, const, pres, prog)
+        np.testing.assert_allclose(
+            np.asarray(out_5), np.asarray(out_e), rtol=2e-4, atol=2e-4
+        )
 
     def test_swin_model_packed_matches_einsum(self):
         """SwinTransformer forced onto the packed kernel reproduces the
@@ -562,6 +568,112 @@ class TestWindowAttentionQKV:
         g1 = jax.grad(loss_k, argnums=(0, 1))(qkv, bias)
         g2 = jax.grad(loss_ref, argnums=(0, 1))(qkv, bias)
         for name, a, b in zip(("qkv", "bias"), g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+                err_msg=f"d{name}",
+            )
+
+
+class TestWindowAttentionQKV5D:
+    """5D kernel (`window_attention_qkv5d`): window partition/reverse
+    folded into BlockSpec index maps — must equal the partition ->
+    token-major kernel -> reverse composition (itself oracle-tested)."""
+
+    def _rand5(self, B, Pl, Lat, Lon, win, nh, hd, seed=0, with_mask=True):
+        from dlwpbench_tpu.models.pangu import (
+            window_partition_3d,
+        )
+
+        r = np.random.default_rng(seed)
+        C = nh * hd
+        qkv5 = jnp.asarray(
+            r.standard_normal((B, Pl, Lat, Lon, 3 * C)), jnp.float32
+        )
+        wpl, wlat, wlon = win
+        nW = (Pl // wpl) * (Lat // wlat)
+        nLon = Lon // wlon
+        N = wpl * wlat * wlon
+        bias = jnp.asarray(
+            0.1 * r.standard_normal((nW, nh, N, N)), jnp.float32
+        )
+        mask = None
+        if with_mask:
+            m = np.zeros((nLon, nW, N, N), np.float32)
+            for lo in range(nLon):
+                for w in range(nW):
+                    cut = (lo + w + 1) * N // (nLon + nW + 1)
+                    m[lo, w, :cut, cut:] = -100.0
+                    m[lo, w, cut:, :cut] = -100.0
+            mask = jnp.asarray(m)
+        return qkv5, bias, mask
+
+    @staticmethod
+    def _via_partition(qkv5, bias, mask, nh, win):
+        from dlwpbench_tpu.models.pangu import (
+            window_partition_3d, window_reverse_3d,
+        )
+        from dlwpbench_tpu.ops.pallas_attention import window_attention_qkv
+
+        B, Pl, Lat, Lon, C3 = qkv5.shape
+        wpl, wlat, wlon = win
+        nLon = Lon // wlon
+        wins = window_partition_3d(qkv5, win)  # [B*nLon, nW, N, 3C]
+        tok = wins.reshape(B, nLon, wins.shape[1], wins.shape[2], C3)
+        out = window_attention_qkv(tok, bias, mask, nh, interpret=True)
+        C = C3 // 3
+        out = out.reshape(B * nLon, out.shape[2], out.shape[3], C)
+        return window_reverse_3d(out, win, Pl, Lat, Lon)
+
+    @pytest.mark.parametrize("win,Pl,Lat,Lon", [
+        ((2, 3, 4), 2, 6, 8),     # multi-window, multi-lon
+        ((2, 6, 12), 2, 6, 24),   # the Pangu window at a narrow grid
+    ])
+    def test_matches_partition_composition(self, win, Pl, Lat, Lon):
+        from dlwpbench_tpu.ops.pallas_attention import window_attention_qkv5d
+
+        nh, hd, B = 2, 16, 4
+        qkv5, bias, mask = self._rand5(B, Pl, Lat, Lon, win, nh, hd)
+        want = np.asarray(self._via_partition(qkv5, bias, mask, nh, win))
+        got = np.asarray(
+            window_attention_qkv5d(qkv5, bias, mask, nh, win,
+                                   interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_no_mask(self):
+        from dlwpbench_tpu.ops.pallas_attention import window_attention_qkv5d
+
+        win = (2, 3, 4)
+        qkv5, bias, _ = self._rand5(2, 2, 6, 8, win, 2, 16, seed=3,
+                                    with_mask=False)
+        want = np.asarray(self._via_partition(qkv5, bias, None, 2, win))
+        got = np.asarray(
+            window_attention_qkv5d(qkv5, bias, None, 2, win, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_gradients(self):
+        """Fused 5D backward (dqkv in the 5D Dense layout + accumulated
+        dBias) matches the partition-composition gradients."""
+        from dlwpbench_tpu.ops.pallas_attention import window_attention_qkv5d
+
+        win, Pl, Lat, Lon, nh, hd = (2, 3, 4), 2, 6, 8, 2, 16
+        qkv5, bias, mask = self._rand5(4, Pl, Lat, Lon, win, nh, hd, seed=5)
+        proj = jnp.cos(jnp.arange(nh * hd, dtype=jnp.float32))
+
+        def loss_k(qkv5, bias):
+            return (
+                window_attention_qkv5d(qkv5, bias, mask, nh, win,
+                                       interpret=True) * proj
+            ).sum()
+
+        def loss_ref(qkv5, bias):
+            return (self._via_partition(qkv5, bias, mask, nh, win)
+                    * proj).sum()
+
+        g1 = jax.grad(loss_k, argnums=(0, 1))(qkv5, bias)
+        g2 = jax.grad(loss_ref, argnums=(0, 1))(qkv5, bias)
+        for name, a, b in zip(("qkv5", "bias"), g1, g2):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
                 err_msg=f"d{name}",
