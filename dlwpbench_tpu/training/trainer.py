@@ -326,6 +326,7 @@ class Trainer:
         model_name: str = "model",
         verbose: bool = True,
         on_epoch_end: Optional[Callable] = None,
+        checkpoint_every: int = 1,
     ) -> TrainState:
         val_batch_size = val_batch_size or batch_size
         # In a true multi-process job only process 0 touches the run dir:
@@ -339,6 +340,7 @@ class Trainer:
 
             logger = RunLogger(run_dir)
         ckpt_writer = AsyncCheckpointWriter()
+        best_dirty = False
         while state.epoch < self.epochs:
             t0 = time.time()
             train_loss = self.train_epoch(state, train_ds, batch_size)
@@ -365,13 +367,25 @@ class Trainer:
                     rec[f"val_mse/lead_{t+1}"] = float(per_lead[t].mean())
                 logger.log(rec, step=state.epoch)
             if run_dir:
+                # Checkpoints every checkpoint_every epochs (+ the final
+                # one): on a relay-attached device, serializing a large
+                # state every epoch can dominate wall time (observed 50 s
+                # vs 2.6 s compute on an 80M-param run).  "best" coarsens
+                # with the interval too — the state written is the
+                # best-known at the interval boundary.
                 if val_loss < state.best_val_error:
                     state.best_val_error = val_loss
-                    if is_proc0:
+                    best_dirty = True
+                at_interval = (
+                    state.epoch % max(1, checkpoint_every) == 0
+                    or state.epoch >= self.epochs
+                )
+                if is_proc0 and at_interval:
+                    if best_dirty:
                         ckpt_writer.submit(
                             run_dir, model_name, state, kind="best"
                         )
-                if is_proc0:
+                        best_dirty = False
                     ckpt_writer.submit(run_dir, model_name, state, kind="last")
             if on_epoch_end:
                 on_epoch_end(state, train_loss, val_loss, per_lead)
@@ -451,15 +465,35 @@ class AsyncCheckpointWriter:
     on a `threading.Thread` so epoch N+1 compute overlaps checkpoint IO
     (`train.py:464-474`).  One worker at a time: each submit joins the
     previous write first, so best/last ordering is preserved and at most
-    one serialization is in flight.  jax Arrays are immutable, so handing
-    the (shallow-copied) TrainState to the thread is race-free."""
+    one serialization is in flight.
+
+    jax Arrays are immutable but NOT donation-proof: the train step donates
+    `params`/`opt_state`, so a buffer the thread is still serializing can
+    be invalidated when the NEXT epoch's step dispatches ("Array has been
+    deleted" mid-write, observed on an 80M-param run whose serialization
+    was slower than an epoch).  `submit` therefore snapshots the device
+    arrays with `jnp.copy` on the calling thread — an async device-side
+    copy that is ordered BEFORE any later donation, giving the writer
+    stable buffers."""
 
     def __init__(self):
         self._thread: threading.Thread | None = None
 
     def submit(self, run_dir: str, name: str, state: TrainState, kind: str):
         self.join()
-        snap = dataclasses.replace(state)  # freeze the scalar fields
+
+        def cp(x):  # copy device arrays only; keep python scalars as-is
+            return jnp.copy(x) if isinstance(x, jax.Array) else x
+
+        snap = dataclasses.replace(
+            state,  # freeze the scalar fields
+            params=jax.tree.map(cp, state.params),
+            opt_state=jax.tree.map(cp, state.opt_state),
+            ema_params=(
+                None if state.ema_params is None
+                else jax.tree.map(cp, state.ema_params)
+            ),
+        )
         self._thread = threading.Thread(
             target=save_checkpoint, args=(run_dir, name, snap, kind),
             daemon=True,

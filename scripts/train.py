@@ -132,6 +132,7 @@ def main(argv):
         run_dir=run_dir if cfg.training.save_model else None,
         model_name=cfg.model.name,
         verbose=bool(cfg.verbose),
+        checkpoint_every=int(cfg.training.get("checkpoint_every", 1)),
     )
 
 

@@ -280,3 +280,43 @@ class TestDataParallelTrainer:
         np.testing.assert_allclose(
             losses["dp"], losses["single"], rtol=1e-5, atol=1e-6
         )
+
+
+class TestAsyncCheckpointDonationSafety:
+    def test_submit_survives_donated_originals(self, tmp_path):
+        """The writer must snapshot device buffers at submit time: the
+        next train step DONATES params/opt_state, which invalidates the
+        originals mid-serialization ("Array has been deleted", observed on
+        an 80M-param run).  Deleting the originals right after submit
+        simulates the donation losing the race."""
+        import jax
+        import jax.numpy as jnp
+
+        from dlwpbench_tpu.models.unet import UNet
+        from dlwpbench_tpu.training.trainer import (
+            AsyncCheckpointWriter, Trainer, load_checkpoint,
+        )
+
+        model = UNet(constant_channels=0, prescribed_channels=0,
+                     prognostic_channels=1, hidden_channels=[4, 8],
+                     context_size=1)
+        rng = np.random.default_rng(0)
+        prog = jnp.asarray(
+            rng.standard_normal((2, 3, 1, 16, 32)), jnp.float32)
+        tr = Trainer(model, epochs=1, training_type="diffusion")
+        state = tr.init((None, None, prog, prog[:, 1:]))
+
+        w = AsyncCheckpointWriter()
+        w.submit(str(tmp_path), "m", state, kind="last")
+        # simulate donation: delete every original device buffer
+        for leaf in jax.tree.leaves(
+            (state.params, state.opt_state, state.ema_params)
+        ):
+            if isinstance(leaf, jax.Array):
+                leaf.delete()
+        w.join()  # must not raise
+
+        # restore into a fresh template and check round-trip
+        state2 = tr.init((None, None, prog, prog[:, 1:]))
+        restored = load_checkpoint(str(tmp_path), "m", state2, kind="last")
+        assert restored.ema_params is not None
