@@ -77,6 +77,21 @@ def v_prediction_target(
     return jnp.sqrt(acp) * noise - jnp.sqrt(1.0 - acp) * sample
 
 
+def subsampled_timesteps(
+    num_train_timesteps: int, num_inference_steps: int
+) -> np.ndarray:
+    """diffusers `DDPMScheduler.set_timesteps` (scheduling_ddpm.py):
+    step_ratio = T // K, timesteps = (arange(K) * step_ratio)[::-1].
+    The reference's deployed configuration trains on a 1001-step schedule
+    and infers on K=5 of its timesteps — [800, 600, 400, 200, 0]
+    (`evaluate.py:197-202`; the top level 1000 is never visited, a
+    reference quirk reproduced here)."""
+    step_ratio = num_train_timesteps // num_inference_steps
+    return (np.arange(0, num_inference_steps) * step_ratio).round()[
+        ::-1
+    ].astype(np.int32)
+
+
 def step(
     sched: DDPMSchedule,
     model_output: jax.Array,
@@ -84,20 +99,31 @@ def step(
     sample: jax.Array,
     key: jax.Array = None,
     noise: jax.Array = None,
+    prev_t: jax.Array = None,
 ) -> jax.Array:
     """One reverse-diffusion step (DDPM ancestral sampling, v-prediction,
     clip_sample=False).  `t` is a scalar timestep; adds noise unless t==0.
     Pass `noise` explicitly (e.g. for cross-framework parity tests) to skip
     the internal `jax.random.normal` draw.
 
+    `prev_t` is the PREVIOUS timestep of the sampling trajectory — t-1 for
+    full-schedule sampling (default), t - T//K when inference subsamples K
+    of T timesteps (diffusers `previous_timestep`); prev_t < 0 means the
+    final step (alpha_cumprod_prev = 1).
+
     WARNING: key=None (with noise=None) yields the posterior MEAN — no
     noise is added at ANY t.  That is only correct for the final t==0
     step (t is traced, so it cannot be checked here); ancestral sampling
     at t>0 requires a key, or the chain silently variance-collapses."""
     ndim = sample.ndim
+    if prev_t is None:
+        prev_t = t - 1
+    prev_t = jnp.asarray(prev_t)
     acp_t = _extract(sched.alphas_cumprod, t, ndim)
     acp_prev = jnp.where(
-        t > 0, _extract(sched.alphas_cumprod, jnp.maximum(t - 1, 0), ndim), 1.0
+        prev_t >= 0,
+        _extract(sched.alphas_cumprod, jnp.maximum(prev_t, 0), ndim),
+        1.0,
     )
     beta_t = 1.0 - acp_t / acp_prev
     alpha_t = 1.0 - beta_t

@@ -972,9 +972,17 @@ class _NpDDPMScheduler:
         self.alphas = 1.0 - self.betas
         self.acp = np.cumprod(self.alphas)
 
+    def set_timesteps(self, num_inference_steps):
+        """diffusers set_timesteps: T // K spacing, descending."""
+        self.step_ratio = len(self.betas) // num_inference_steps
+        self.timesteps = (
+            np.arange(0, num_inference_steps) * self.step_ratio
+        ).round()[::-1].astype(int)
+
     def step(self, model_output, t, sample, noise):
+        prev_t = t - getattr(self, "step_ratio", 1)
         acp_t = self.acp[t]
-        acp_prev = self.acp[t - 1] if t > 0 else 1.0
+        acp_prev = self.acp[prev_t] if prev_t >= 0 else 1.0
         beta_t = 1.0 - acp_t / acp_prev
         alpha_t = 1.0 - beta_t
         x0 = (acp_t**0.5) * sample - ((1.0 - acp_t) ** 0.5) * model_output
@@ -1124,15 +1132,22 @@ class TestDiffModernUNetParity:
         from dlwpbench_tpu.ops import ddpm as ddpm_ops
 
         ref, ours, params, (Cc, Cp, Cq, K) = self._build()
+        # deployed configuration (reference `evaluate.py:194-202`): train on
+        # a T-step schedule, infer on K SUBSAMPLED timesteps of it
         min_noise_std = 4e-4
+        T_train = 12
         betas = [
-            min_noise_std ** (k / K) for k in reversed(range(K + 1))
+            min_noise_std ** (k / T_train) for k in reversed(range(T_train + 1))
         ]  # train.py:76
         np_sched = _NpDDPMScheduler(betas)
-        sched = ddpm_ops.make_refiner_schedule(K, min_noise_std)
+        np_sched.set_timesteps(K)
+        sched = ddpm_ops.make_refiner_schedule(T_train, min_noise_std)
         np.testing.assert_allclose(
             np.asarray(sched.alphas_cumprod), np_sched.acp, rtol=1e-6
         )
+        ts = ddpm_ops.subsampled_timesteps(sched.num_timesteps, K)
+        np.testing.assert_array_equal(ts, np_sched.timesteps)
+        step_ratio = sched.num_timesteps // K
 
         B, H, W = 2, 16, 32
         r = np.random.default_rng(1)
@@ -1141,36 +1156,39 @@ class TestDiffModernUNetParity:
         prog = r.standard_normal((B, 1, Cq, H, W)).astype(np.float32)
         y0 = r.standard_normal((B, 1, Cq, H, W)).astype(np.float32)
         step_noise = {
-            k: r.standard_normal((B, 1, Cq, H, W)).astype(np.float32)
-            for k in range(K + 1)
+            int(k): r.standard_normal((B, 1, Cq, H, W)).astype(np.float32)
+            for k in np_sched.timesteps
         }
 
-        # torch side
+        # torch side: the reference `diffusion_forward` loop iterates the
+        # scheduler's subsampled timesteps (`modern_unet.py:175-208`)
         y_t = torch.tensor(y0)
         with torch.no_grad():
-            for k in range(K, -1, -1):
-                kt = torch.full((B,), k, dtype=torch.long)
+            for k in np_sched.timesteps:
+                kt = torch.full((B,), int(k), dtype=torch.long)
                 pred = ref.single_forward(
                     torch.tensor(const), torch.tensor(pres),
                     torch.tensor(prog), y_t, kt
                 ).unsqueeze(1)
                 y_t = torch.tensor(
-                    np_sched.step(pred.numpy(), k, y_t.numpy(), step_noise[k])
+                    np_sched.step(pred.numpy(), int(k), y_t.numpy(),
+                                  step_noise[int(k)])
                     .astype(np.float32)
                 )
         want = y_t.numpy()
 
-        # jax side (ddpm_ops.step with the same injected noise)
+        # jax side (ddpm_ops.step with the same injected noise + prev_t)
         y_j = jnp.asarray(y0)
-        for k in range(K, -1, -1):
+        for k in ts:
             pred = ours.apply(
                 params, jnp.asarray(const), jnp.asarray(pres),
-                jnp.asarray(prog), y_j, jnp.full((B,), k),
+                jnp.asarray(prog), y_j, jnp.full((B,), int(k)),
                 method=type(ours).single_forward,
             )
             y_j = ddpm_ops.step(
-                sched, pred[:, None], k, y_j,
-                noise=jnp.asarray(step_noise[k]),
+                sched, pred[:, None], int(k), y_j,
+                noise=jnp.asarray(step_noise[int(k)]),
+                prev_t=int(k) - step_ratio,
             )
         got = np.asarray(y_j)
         assert got.shape == want.shape
