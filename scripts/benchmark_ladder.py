@@ -36,7 +36,8 @@ import numpy as np
 
 RUNGS = {
     "50k": 50e3, "500k": 500e3, "1m": 1e6, "2m": 2e6, "4m": 4e6,
-    "8m": 8e6, "16m": 16e6, "32m": 32e6, "64m": 64e6, "128m": 128e6,
+    "8m": 8e6, "16m": 16e6, "32m": 32e6, "64m": 64e6, "81m": 80.7e6,
+    "128m": 128e6,
 }
 
 # Rung coverage mirrors the reference's measured tables (nan pattern at
@@ -65,15 +66,36 @@ FAMILY_RUNGS = {
     # DISTANA is config-only upstream (no reference table row); rungs
     # chosen to bracket its published use (hidden 16, layers 4)
     "distana": ("50k", "500k", "1m", "2m", "4m", "8m"),
+    # PDE-Refiner diffusion (VERDICT r4 #7): rows measure the REAL train
+    # protocol (one v-prediction single_forward + AdamW per step, no
+    # rollout) — the refinement-loop inference cost lives in
+    # benchmark_matrix.json.  Widths follow the reference's 4-level shape
+    # (w, 2w, 4w, 16w); w=64 is the reference config (~80M).
+    "diffusion": ("2m", "8m", "32m", "81m"),
 }
 
 WINDOWS_PER_EPOCH_2014 = 96  # (1460 - 15) // 15: one year, 6-hourly, seq 15
+
+
+def _ladder_diffusion_model(width, Cc, Cp, Cq):
+    from dlwpbench_tpu.models.modern_unet import DiffModernUNet
+
+    w = 8 * max(1, round(width / 8))
+    return DiffModernUNet(
+        constant_channels=Cc, prescribed_channels=Cp,
+        prognostic_channels=Cq,
+        hidden_channels=(w, 2 * w, 4 * w, 16 * w),
+        context_size=2, norm=True, use_scale_shift_norm=True,
+        num_refinement_step=5,
+    )
 
 
 def build(family, width, H, W, Cc, Cp, Cq, nside=None):
     """Model for a family at integer width knob `width`."""
     kw = dict(constant_channels=Cc, prescribed_channels=Cp,
               prognostic_channels=Cq)
+    if family == "diffusion":
+        return _ladder_diffusion_model(width, Cc, Cp, Cq)
     if family == "convlstm":
         from dlwpbench_tpu.models.convlstm import ConvLSTM
         return ConvLSTM(hidden_sizes=(width, width), **kw)
@@ -474,10 +496,22 @@ def main(argv=None):
                 # mask); RolloutModel subclasses scan T - context_size.
                 trips = T if family.startswith(("convlstm", "distana")) \
                     else T - model.context_size
-                step_s, compile_s, mem = measure(
-                    model, (const_np, pres_np, prog_np, tgt_np), dev, cpu,
-                    compute_dtype=args.compute_dtype, rollout_trips=trips)
-                if ("flops_per_step" not in mem and not args.no_flops
+                if family == "diffusion":
+                    # real protocol: v-pred single_forward train step
+                    from benchmark_training import measure_diffusion
+
+                    step_s, compile_s, mem, _np_ = measure_diffusion(
+                        model, (const_np, pres_np, prog_np, tgt_np), dev,
+                        cpu, compute_dtype=args.compute_dtype)
+                    mem["note"] = ("v-prediction single_forward train "
+                                   "step; inference pays the DDPM "
+                                   "refinement loop (benchmark_matrix)")
+                else:
+                    step_s, compile_s, mem = measure(
+                        model, (const_np, pres_np, prog_np, tgt_np), dev, cpu,
+                        compute_dtype=args.compute_dtype, rollout_trips=trips)
+                if (family != "diffusion"
+                        and "flops_per_step" not in mem and not args.no_flops
                         and cpu is not None):
                     # the relay compiler hides cost_analysis: lower the
                     # same program on the host CPU backend instead

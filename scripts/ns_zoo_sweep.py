@@ -35,11 +35,17 @@ FAMILIES = {
     "fcnv2": ("fourcastnetv2", []),
     # PDE-Refiner diffusion track: v-prediction training (training=diffusion)
     # needs sequence_length == context_size + 1 = 3; eval runs the full DDPM
-    # refinement loop per rollout step (model __call__).
+    # refinement loop per rollout step (model __call__, posterior-mean
+    # sampler per the track config).  The 80M denoiser wants more data and
+    # epochs than the deterministic families (and sparse checkpointing —
+    # its 1.3 GB state would otherwise dominate wall time on the relay).
     "diffusion": ("diffusion_modernunet", [
         "training=diffusion",
         "training.sequence_length=3",
         "validation.sequence_length=3",
+        "data.n_trajectories=64",
+        "training.epochs=250",
+        "training.checkpoint_every=25",
     ]),
     # the WeatherBench-scale default (512 hidden x 16 layers) is oversized
     # for the 64x64 single-channel NS track; match the other families' scale
