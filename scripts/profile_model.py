@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--train", action="store_true",
                     help="profile the remat train step instead of inference")
     ap.add_argument("--out-dir", default=None)
+    ap.add_argument("--dtype", default=None, choices=(None, "bfloat16"),
+                    help="mixed-precision train step (bf16 compute)")
     ap.add_argument("--platform", default=None,
                     help="jax platform override (cpu for relay-less smoke)")
     args = ap.parse_args(argv)
@@ -82,11 +84,19 @@ def main(argv=None):
         tx = optax.adamw(1e-3)
         opt = jax.device_put(tx.init(params), jax.devices()[0])
 
+        cdt = jnp.dtype(args.dtype) if args.dtype else None
+
         @jax.jit
         def step(p, o):
-            loss, g = jax.value_and_grad(
-                lambda pp: mse_loss(model.apply(pp, const, pres, prog), tgt)
-            )(p)
+            def loss_fn(pp):
+                if cdt is not None:
+                    pp = jax.tree.map(lambda x: x.astype(cdt), pp)
+                    out = model.apply(pp, const.astype(cdt),
+                                      pres.astype(cdt), prog.astype(cdt))
+                    return mse_loss(out.astype(jnp.float32), tgt)
+                return mse_loss(model.apply(pp, const, pres, prog), tgt)
+
+            loss, g = jax.value_and_grad(loss_fn)(p)
             up, o2 = tx.update(g, o, p)
             return optax.apply_updates(p, up), o2, loss
 
