@@ -113,6 +113,10 @@ class WindowAttention(nn.Module):
     # small windows on TPU, einsum otherwise; True/False force flash/einsum;
     # "packed" forces the packed small-window kernel.
     use_flash: Optional[Any] = None
+    # window count of the caller's [B*nW, N, C] batch layout — needed by
+    # the token-major packed kernel when the bias is shared (unshifted
+    # blocks), where nW cannot be inferred from the bias.
+    n_windows: Optional[int] = None
     # jax Mesh: sequence-shard the window tokens over `dist_axis` and run
     # ring (context-parallel) attention (parallel/ring_attention.py).
     spmd_mesh: Any = None
@@ -126,24 +130,44 @@ class WindowAttention(nn.Module):
         hd = C // nh
         scale = self.qk_scale or hd**-0.5
 
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, kernel_init=trunc_normal_init())(x)
-        qkv = qkv.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, nh, N, hd]
+        qkv_raw = nn.Dense(
+            3 * C, use_bias=self.qkv_bias, kernel_init=trunc_normal_init()
+        )(x)
 
         on_tpu = jax.default_backend() in ("tpu", "axon")
         packed = self.use_flash == "packed" or (
             self.use_flash is None and on_tpu and N < 1024 and hd % 8 == 0
             and B_ >= 64
         )
+        if not packed:
+            qkv = qkv_raw.reshape(B_, N, 3, nh, hd).transpose(2, 0, 3, 1, 4)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # [B_, nh, N, hd]
         if packed:
-            # Pallas packed small-window path (Swin HPX / shifted nW > 1
-            # small windows): batch layout b = sample*nW + window matches
-            # the kernel's w = p % nW bias selection.
-            from dlwpbench_tpu.ops.pallas_attention import packed_window_attention
+            # Token-major packed path (`window_attention_qkv`, the Pangu
+            # round-4 kernel): consumes the qkv Dense output layout
+            # directly with G-member programs.  Round 5 replaces the
+            # per-(window, head) transposed-layout kernel here — that
+            # kernel reproducibly faults the TPU worker inside the
+            # two-stage swin_win8 graph at 180x360 (standalone it passes
+            # at the same geometry; see results/swin_win8_crash.md), and
+            # the token-major kernel is also the faster design.
+            # B_ = sample*nW + window; bias arrives QUERY-major
+            # ([*, nh, Nq, Nk]) and the kernel wants KEY-major.
+            from dlwpbench_tpu.ops.pallas_attention import (
+                window_attention_qkv,
+            )
 
             gb = bias if bias.ndim == 4 else bias[None]
-            out = packed_window_attention(q, k, v, gb, None)
-            out = out.transpose(0, 2, 1, 3).reshape(B_, N, C)
+            nW = gb.shape[0] if gb.shape[0] > 1 else None
+            if nW is None:
+                # unshifted: one shared bias; window count comes from the
+                # caller's batch layout via n_windows
+                nW = self.n_windows or 1
+            q5 = qkv_raw.reshape(B_ // nW, 1, nW, N, 3 * C)
+            out = window_attention_qkv(
+                q5, gb.swapaxes(-1, -2), None, nh
+            )
+            out = out.reshape(B_, N, C)
             return nn.Dense(C, kernel_init=trunc_normal_init())(out)
 
         if self.spmd_mesh is not None and hd % 8 == 0 and (
@@ -239,6 +263,7 @@ class SwinBlock(nn.Module):
             self.dim, (wh, ww), self.num_heads, self.qkv_bias,
             use_flash=self.use_flash, spmd_mesh=self.spmd_mesh,
             dist_axis=self.dist_axis,
+            n_windows=(Hp // wh) * (Wp // ww),
         )(win, bias)
         x = window_reverse(win, wh, ww, Hp, Wp)
 
@@ -296,7 +321,9 @@ class SwinTransformer(RolloutModel):
     context_size: int = 1
     mesh: str = "equirectangular"
     # None = auto (Pallas flash kernel only where it wins: large windows);
-    # True/False forces the path.
+    # True/False forces the path; a per-stage tuple (e.g. (None, False))
+    # selects the impl per stage — the knob the swin_win8@180x360
+    # crash bisection uses, and the workaround it concluded with.
     use_flash_attention: Optional[Any] = None
     # False = fast tanh-approx GELU; True = torch-exact erf GELU (parity)
     exact_gelu: bool = False
@@ -421,6 +448,9 @@ class SwinTransformer(RolloutModel):
             st = plan[i]
             dim = int(self.embed_dim * 2**i)
             H, W = st["H"], st["W"]
+            uf = self.use_flash_attention
+            if isinstance(uf, (tuple, list)):
+                uf = uf[i]
             for d in range(self.depths[i]):
                 blk_shift = (0, 0) if d % 2 == 0 else st["shift"]
                 x = SwinBlock(
@@ -431,7 +461,7 @@ class SwinTransformer(RolloutModel):
                     self.mlp_ratio,
                     self.qkv_bias,
                     mesh=self.mesh,
-                    use_flash=self.use_flash_attention,
+                    use_flash=uf,
                     exact_gelu=self.exact_gelu,
                     spmd_mesh=self.spmd_mesh,
                     dist_axis=self.dist_axis,

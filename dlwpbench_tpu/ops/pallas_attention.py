@@ -1284,16 +1284,22 @@ def _tm_heads_bwd(xt_ref, got_ref, dot_ref, dxt_ref, bias_ref, m, lse_row,
 
 def _tm_bwd_kernel(qkv_ref, bias_ref, mask_ref, o_ref, do_ref, lse_ref,
                    dqkv_ref, dbias_ref, xt_ref, got_ref, dot_ref, dxt_ref,
-                   *, scale, nh, hd, G):
+                   *, scale, nh, hd, G, shared_bias=False):
     """Same scratch-transpose scheme as the forward; emits the FUSED dqkv
     (one [N, 3C] store per member) and accumulates dBias across the
-    (lon, batch) grid revisits of each window type."""
+    (lon, batch) grid revisits of each window type (ALL windows when the
+    bias is shared — `shared_bias`, leading dim 1)."""
     C = nh * hd
+    w = pl.program_id(0)
     lon = pl.program_id(1)
     jb = pl.program_id(2)
     m = mask_ref[0, 0]  # [Nk, Nq]
 
-    @pl.when((lon == 0) & (jb == 0))
+    first = (lon == 0) & (jb == 0)
+    if shared_bias:
+        first = first & (w == 0)
+
+    @pl.when(first)
     def _init():
         dbias_ref[0] = jnp.zeros_like(dbias_ref[0])
 
@@ -1347,6 +1353,7 @@ def _tm_impl(qkv, bias, mask, nh, interpret=False):
     C = C3 // 3
     hd = C // nh
     mL, mW = mask.shape[0], mask.shape[1]
+    bW = bias.shape[0]  # 1 = shared bias (e.g. unshifted Swin windows)
     G = _tm_group(B, L, nW, nh, N, C, bwd=False)
     scale = hd**-0.5
     kernel = functools.partial(_tm_attn_kernel, scale=scale, nh=nh, hd=hd,
@@ -1361,7 +1368,8 @@ def _tm_impl(qkv, bias, mask, nh, interpret=False):
         in_specs=[
             pl.BlockSpec((G, 1, 1, N, C3),
                          lambda w, lon, jb: (jb, lon, w, 0, 0)),
-            pl.BlockSpec((1, nh, N, N), lambda w, lon, jb: (w, 0, 0, 0)),
+            pl.BlockSpec((1, nh, N, N),
+                         lambda w, lon, jb: (w if bW > 1 else 0, 0, 0, 0)),
             pl.BlockSpec(
                 (1, 1, N, N),
                 lambda w, lon, jb: (lon if mL > 1 else 0,
@@ -1404,22 +1412,23 @@ def _tm_bwd(nh, interpret, res, g):
     C = C3 // 3
     hd = C // nh
     mL, mW = mask.shape[0], mask.shape[1]
+    bW = bias.shape[0]
     G = _tm_group(B, L, nW, nh, N, C)
     scale = hd**-0.5
     kernel = functools.partial(_tm_bwd_kernel, scale=scale, nh=nh, hd=hd,
-                               G=G)
+                               G=G, shared_bias=bW == 1)
     blk3 = lambda w, lon, jb: (jb, lon, w, 0, 0)
     dqkv, dbias = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((B, L, nW, N, C3), qkv.dtype),
-            jax.ShapeDtypeStruct((nW, nh, N, N), jnp.float32),
+            jax.ShapeDtypeStruct((bW, nh, N, N), jnp.float32),
         ),
         grid=(nW, L, B // G),  # (lon, jb) innermost: consecutive dbias
         in_specs=[             # revisits per window type
             pl.BlockSpec((G, 1, 1, N, C3), blk3),   # qkv
             pl.BlockSpec((1, nh, N, N),
-                         lambda w, lon, jb: (w, 0, 0, 0)),
+                         lambda w, lon, jb: (w if bW > 1 else 0, 0, 0, 0)),
             pl.BlockSpec(
                 (1, 1, N, N),
                 lambda w, lon, jb: (lon if mL > 1 else 0,
@@ -1432,7 +1441,7 @@ def _tm_bwd(nh, interpret, res, g):
         out_specs=(
             pl.BlockSpec((G, 1, 1, N, C3), blk3),
             pl.BlockSpec((1, nh, N, N),
-                         lambda w, lon, jb: (w, 0, 0, 0)),
+                         lambda w, lon, jb: (w if bW > 1 else 0, 0, 0, 0)),
         ),
         scratch_shapes=[
             # f32 throughout the backward: ds/p/drow are f32, and Mosaic

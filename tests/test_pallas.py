@@ -678,3 +678,37 @@ class TestWindowAttentionQKV5D:
                 np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
                 err_msg=f"d{name}",
             )
+
+
+class TestWindowAttentionQKVSharedBias:
+    """bias leading dim 1 (unshifted Swin windows share one relative-
+    position bias): the kernel must broadcast it over windows and
+    accumulate dBias over ALL of them."""
+
+    def test_shared_bias_matches_broadcast(self):
+        from dlwpbench_tpu.ops.pallas_attention import window_attention_qkv
+
+        B, L, nW, N, nh, hd = 4, 1, 3, 64, 2, 16
+        r = np.random.default_rng(11)
+        C = nh * hd
+        qkv = jnp.asarray(r.standard_normal((B, L, nW, N, 3 * C)),
+                          jnp.float32)
+        b1 = jnp.asarray(0.1 * r.standard_normal((1, nh, N, N)), jnp.float32)
+        bfull = jnp.broadcast_to(b1, (nW, nh, N, N))
+
+        o1 = window_attention_qkv(qkv, b1, None, nh, interpret=True)
+        o2 = window_attention_qkv(qkv, bfull, None, nh, interpret=True)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   rtol=1e-5, atol=1e-5)
+
+        g1 = jax.grad(
+            lambda b: window_attention_qkv(qkv, b, None, nh,
+                                           interpret=True).sum()
+        )(b1)
+        gf = jax.grad(
+            lambda b: window_attention_qkv(qkv, b, None, nh,
+                                           interpret=True).sum()
+        )(bfull)
+        np.testing.assert_allclose(
+            np.asarray(g1)[0], np.asarray(gf).sum(0), rtol=1e-4, atol=1e-4
+        )
